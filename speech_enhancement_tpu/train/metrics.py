@@ -1,0 +1,163 @@
+"""Evaluation metrics (reference: src/metric.py).
+
+SI-SDR is available both device-side (jnp, for in-loop validation without a
+host round-trip) and host-side (numpy, bit-matching the reference's
+metric.py:92-123 convention — note it does *not* zero-mean). STOI is a
+native numpy implementation (:mod:`.stoi`); PESQ requires the ITU P.862 C
+implementation, which the image does not ship — it is gated on the optional
+``pesq`` / ``pypesq`` packages exactly like the reference gates Clarity
+metrics (src/solver.py:82-89). SDR implements BSS Eval's 512-tap
+time-invariant distortion filter (the single-source core of museval's
+``bss_eval``, src/metric.py:65-89).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import solve_toeplitz
+from scipy.signal import fftconvolve
+
+from speech_enhancement_tpu.train.stoi import stoi as _stoi
+
+try:  # optional C PESQ (ITU P.862), as in the reference
+    from pesq import pesq as _pesq  # type: ignore
+
+    HAS_PESQ = True
+except ImportError:  # pragma: no cover - image has no pesq wheel
+    HAS_PESQ = False
+
+_EPS = np.finfo(np.float64).eps
+
+
+def si_sdr_numpy(reference: np.ndarray, estimation: np.ndarray) -> float:
+    """Reference SI-SDR over [..., T] (src/metric.py:92-123; no zero-mean)."""
+    reference = np.asarray(reference, dtype=np.float64)
+    estimation = np.asarray(estimation, dtype=np.float64)
+    ref_energy = np.sum(reference**2, axis=-1, keepdims=True)
+    scaling = np.sum(estimation * reference, axis=-1, keepdims=True) / (ref_energy + _EPS)
+    projection = scaling * reference
+    noise = estimation - projection
+    ratio = np.sum(projection**2, axis=-1) / (np.sum(noise**2, axis=-1) + _EPS)
+    return float(10 * np.log10(np.mean(ratio) + _EPS))
+
+
+def si_sdr_jax(reference: jnp.ndarray, estimation: jnp.ndarray) -> jnp.ndarray:
+    """Device-side SI-SDR with the same (non-zero-meaned) convention."""
+    ref_energy = jnp.sum(reference**2, axis=-1, keepdims=True)
+    scaling = jnp.sum(estimation * reference, axis=-1, keepdims=True) / (ref_energy + 1e-12)
+    projection = scaling * reference
+    noise = estimation - projection
+    ratio = jnp.sum(projection**2, axis=-1) / (jnp.sum(noise**2, axis=-1) + 1e-12)
+    return 10.0 * jnp.log10(jnp.mean(ratio) + 1e-12)
+
+
+def sdr(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000, n_taps: int = 512) -> float:
+    """BSS Eval SDR with a time-invariant 512-tap allowed distortion filter.
+
+    Single-source core of bss_eval (Vincent et al. 2006), matching the
+    reference's museval usage over [B, C, T] (src/metric.py:65-89).
+    """
+    reference = np.atleast_2d(np.asarray(reference, dtype=np.float64))
+    estimation = np.atleast_2d(np.asarray(estimation, dtype=np.float64))
+    flat_ref = reference.reshape(-1, reference.shape[-1])
+    flat_est = estimation.reshape(-1, estimation.shape[-1])
+    scores = []
+    for ref, est in zip(flat_ref, flat_est):
+        n = len(ref)
+        taps = min(n_taps, n)
+        # Least-squares FIR projecting est onto ref's delayed copies.
+        full_corr = fftconvolve(ref, est[::-1])
+        # r[lag] = sum_k est[k + lag] * ref[k] lives at index n - 1 - lag.
+        cross = full_corr[n - taps : n][::-1]
+        auto_full = fftconvolve(ref, ref[::-1])
+        auto = auto_full[n - 1 : n - 1 + taps]
+        auto = auto.copy()
+        auto[0] += 1e-10 * (auto[0] if auto[0] > 0 else 1.0)
+        h = solve_toeplitz(auto, cross)
+        s_target = fftconvolve(h, ref)[:n]
+        e_total = est - s_target
+        num = np.sum(s_target**2)
+        den = np.sum(e_total**2)
+        scores.append(10 * np.log10((num + _EPS) / (den + _EPS)))
+    return float(np.mean(scores))
+
+
+def stoi_score(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000,
+               extended: bool = False) -> float:
+    """Mean STOI over [B, C, T] (reference: src/metric.py:126-144)."""
+    reference = np.asarray(reference)
+    estimation = np.asarray(estimation)
+    flat_ref = reference.reshape(-1, reference.shape[-1])
+    flat_est = estimation.reshape(-1, estimation.shape[-1])
+    return float(np.mean([_stoi(r, e, sr, extended=extended) for r, e in zip(flat_ref, flat_est)]))
+
+
+def wb_pesq(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000) -> Optional[float]:
+    """Wide-band PESQ via the C library if present, else None.
+
+    The reference tolerates and counts NoUtterancesError (metric.py:147-175);
+    we do the same.
+    """
+    if not HAS_PESQ:
+        return None
+    reference = np.asarray(reference)
+    estimation = np.asarray(estimation)
+    flat_ref = reference.reshape(-1, reference.shape[-1])
+    flat_est = estimation.reshape(-1, estimation.shape[-1])
+    scores = []
+    for r, e in zip(flat_ref, flat_est):
+        try:
+            scores.append(_pesq(sr, r, e, mode="wb"))
+        except Exception:
+            continue
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def compute_metrics(
+    clean: np.ndarray,
+    estimate: np.ndarray,
+    sr: int = 16000,
+    include: tuple = ("sisdr", "stoi", "pesq"),
+) -> Dict[str, Optional[float]]:
+    """Metric bundle for one utterance batch [B, C, T] (solver.py:704-721)."""
+    out: Dict[str, Optional[float]] = {}
+    if "sisdr" in include:
+        out["sisdr"] = si_sdr_numpy(clean, estimate)
+    if "stoi" in include:
+        out["stoi"] = stoi_score(clean, estimate, sr)
+    if "pesq" in include:
+        out["pesq"] = wb_pesq(clean, estimate, sr)
+    if "sdr" in include:
+        out["sdr"] = sdr(clean, estimate, sr)
+    return out
+
+
+class SpeechMetricResultsFile:
+    """CSV results writer (reference: src/metric.py:8-63)."""
+
+    COLUMNS = [
+        "scene", "pesq_enhance", "pesq_mixture", "stoi_enhance", "stoi_mixture",
+        "sisdr_enhance", "sisdr_mixture", "haspi_enhance", "haspi_mixture",
+        "hasqi_enhance", "hasqi_mixture",
+    ]
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def clear(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w", newline="") as handle:
+            csv.writer(handle).writerow(self.COLUMNS)
+
+    def add_result(self, scene: str, **scores) -> None:
+        row = [scene] + [
+            "" if scores.get(col) is None else str(scores.get(col, ""))
+            for col in self.COLUMNS[1:]
+        ]
+        with open(self.path, "a", newline="") as handle:
+            csv.writer(handle).writerow(row)

@@ -1,0 +1,81 @@
+"""Metric tests (reference: src/metric.py)."""
+
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.train import metrics
+
+
+def _speechlike(rng, n=16000):
+    # amplitude-modulated tone mixture — has clear "utterance" energy structure
+    t = np.arange(n) / 16000.0
+    env = 0.5 * (1 + np.sin(2 * np.pi * 2.5 * t))
+    sig = env * (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 540 * t))
+    return (sig + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_si_sdr_perfect_and_noisy(rng):
+    clean = _speechlike(rng)[None, None]
+    assert metrics.si_sdr_numpy(clean, clean) > 60
+    noisy = clean + 0.1 * rng.standard_normal(clean.shape).astype(np.float32)
+    val = metrics.si_sdr_numpy(clean, noisy)
+    assert 5 < val < 40
+    # device-side version agrees
+    import jax.numpy as jnp
+
+    dev = float(metrics.si_sdr_jax(jnp.asarray(clean), jnp.asarray(noisy)))
+    assert abs(dev - val) < 0.1
+
+
+def test_si_sdr_scale_invariance(rng):
+    clean = _speechlike(rng)[None, None]
+    noisy = clean + 0.05 * rng.standard_normal(clean.shape).astype(np.float32)
+    a = metrics.si_sdr_numpy(clean, noisy)
+    b = metrics.si_sdr_numpy(clean, noisy * 3.7)
+    assert abs(a - b) < 0.05
+
+
+def test_stoi_orders_quality(rng):
+    clean = _speechlike(rng, 32000)
+    slight = clean + 0.05 * rng.standard_normal(32000).astype(np.float32)
+    heavy = clean + 1.0 * rng.standard_normal(32000).astype(np.float32)
+    s_clean = metrics.stoi_score(clean[None, None], clean[None, None])
+    s_slight = metrics.stoi_score(clean[None, None], slight[None, None])
+    s_heavy = metrics.stoi_score(clean[None, None], heavy[None, None])
+    assert s_clean > 0.99
+    assert s_clean >= s_slight > s_heavy
+
+
+def test_sdr_allows_filtering_distortion(rng):
+    clean = _speechlike(rng)
+    # small delay is an allowed distortion for BSS-eval SDR
+    delayed = np.roll(clean, 8)
+    val = metrics.sdr(clean[None, None], delayed[None, None])
+    assert val > 30
+    noisy = clean + rng.standard_normal(16000).astype(np.float32)
+    assert metrics.sdr(clean[None, None], noisy[None, None]) < val
+
+
+def test_pesq_gated():
+    # image ships no PESQ C library; must return None, not crash
+    if metrics.HAS_PESQ:
+        pytest.skip("pesq installed")
+    assert metrics.wb_pesq(np.zeros((1, 1, 8000)), np.zeros((1, 1, 8000))) is None
+
+
+def test_metric_bundle(rng):
+    clean = _speechlike(rng, 32000)[None, None]
+    noisy = clean + 0.1 * np.random.default_rng(1).standard_normal(clean.shape).astype(np.float32)
+    out = metrics.compute_metrics(clean, noisy)
+    assert set(out) == {"sisdr", "stoi", "pesq"}
+    assert out["sisdr"] is not None and out["stoi"] is not None
+
+
+def test_results_csv(tmp_path):
+    path = str(tmp_path / "scores.csv")
+    f = metrics.SpeechMetricResultsFile(path)
+    f.clear()
+    f.add_result("S0001", sisdr_enhance=10.0, sisdr_mixture=2.0, stoi_enhance=0.9)
+    text = open(path).read().splitlines()
+    assert text[0].startswith("scene,")
+    assert text[1].startswith("S0001,")
