@@ -1,0 +1,193 @@
+"""Complex-valued building blocks as paired real channels (TPU-first).
+
+TPUs have no native complex conv; like the reference we carry (real, imag)
+as separate real tensors and combine with the Gauss-style
+(rr - ii, ri + ir) rule. Unlike the reference — which keeps three separate
+implementations (src/model/dccrn.py:316-450, src/model/dcunet.py:309-369) —
+there is exactly one here, in channels-last NHWC layout so XLA tiles the
+convs onto the MXU directly.
+
+All modules take and return a pair ``(real, imag)`` of [B, H, W, C] arrays
+(H = frequency, W = time for the spectrogram models).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ComplexPair = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+class ComplexConv2d(nn.Module):
+    """Complex 2-D convolution: two real convs cross-combined.
+
+    Reference: src/model/dccrn.py:316-384 / src/model/dcunet.py:309-355.
+    ``padding`` follows flax conventions (string or per-dim (lo, hi) pairs),
+    letting callers express the reference's causal time padding explicitly.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: ComplexPair) -> ComplexPair:
+        xr, xi = x
+        conv_r = nn.Conv(
+            self.features, self.kernel_size, self.strides, self.padding,
+            use_bias=self.use_bias, name="conv_r",
+        )
+        conv_i = nn.Conv(
+            self.features, self.kernel_size, self.strides, self.padding,
+            use_bias=self.use_bias, name="conv_i",
+        )
+        return conv_r(xr) - conv_i(xi), conv_r(xi) + conv_i(xr)
+
+
+class ComplexConvTranspose2d(nn.Module):
+    """Complex transposed 2-D convolution (reference: dccrn.py:387-450)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: object = "VALID"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: ComplexPair) -> ComplexPair:
+        xr, xi = x
+        conv_r = nn.ConvTranspose(
+            self.features, self.kernel_size, self.strides, self.padding,
+            use_bias=self.use_bias, name="conv_r",
+        )
+        conv_i = nn.ConvTranspose(
+            self.features, self.kernel_size, self.strides, self.padding,
+            use_bias=self.use_bias, name="conv_i",
+        )
+        return conv_r(xr) - conv_i(xi), conv_r(xi) + conv_i(xr)
+
+
+class ComplexDense(nn.Module):
+    """Complex linear layer over the last axis."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: ComplexPair) -> ComplexPair:
+        xr, xi = x
+        dense_r = nn.Dense(self.features, use_bias=self.use_bias, name="dense_r")
+        dense_i = nn.Dense(self.features, use_bias=self.use_bias, name="dense_i")
+        return dense_r(xr) - dense_i(xi), dense_r(xi) + dense_i(xr)
+
+
+class ComplexBatchNorm(nn.Module):
+    """Complex batch norm with full 2x2 covariance whitening.
+
+    The "deep complex networks" formulation the reference implements at
+    src/model/dccrn.py:457-634: per channel, subtract the complex mean, whiten
+    by the inverse matrix square root of the (Vrr, Vri; Vri, Vii) covariance,
+    then apply a 2x2 affine (gamma_rr/ri/ii, beta_r/i). Running statistics
+    live in the ``batch_stats`` collection.
+    Whitening math is accumulated in float32 regardless of input dtype.
+    """
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: ComplexPair, use_running_average: bool | None = None) -> ComplexPair:
+        xr, xi = x
+        use_ra = (
+            self.use_running_average if use_running_average is None else use_running_average
+        )
+        channels = xr.shape[-1]
+        reduce_axes = tuple(range(xr.ndim - 1))
+
+        gamma_rr = self.param("gamma_rr", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ii = self.param("gamma_ii", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ri = self.param("gamma_ri", nn.initializers.zeros, (channels,))
+        beta_r = self.param("beta_r", nn.initializers.zeros, (channels,))
+        beta_i = self.param("beta_i", nn.initializers.zeros, (channels,))
+
+        ra_mean_r = self.variable("batch_stats", "mean_r", jnp.zeros, (channels,))
+        ra_mean_i = self.variable("batch_stats", "mean_i", jnp.zeros, (channels,))
+        ra_vrr = self.variable("batch_stats", "vrr", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        ra_vii = self.variable("batch_stats", "vii", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        ra_vri = self.variable("batch_stats", "vri", jnp.zeros, (channels,))
+
+        fr = xr.astype(jnp.float32)
+        fi = xi.astype(jnp.float32)
+
+        if use_ra:
+            mean_r, mean_i = ra_mean_r.value, ra_mean_i.value
+            vrr, vii, vri = ra_vrr.value, ra_vii.value, ra_vri.value
+            cr = fr - mean_r
+            ci = fi - mean_i
+        else:
+            mean_r = jnp.mean(fr, axis=reduce_axes)
+            mean_i = jnp.mean(fi, axis=reduce_axes)
+            cr = fr - mean_r
+            ci = fi - mean_i
+            vrr = jnp.mean(cr * cr, axis=reduce_axes)
+            vii = jnp.mean(ci * ci, axis=reduce_axes)
+            vri = jnp.mean(cr * ci, axis=reduce_axes)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean_r.value = m * ra_mean_r.value + (1 - m) * mean_r
+                ra_mean_i.value = m * ra_mean_i.value + (1 - m) * mean_i
+                ra_vrr.value = m * ra_vrr.value + (1 - m) * vrr
+                ra_vii.value = m * ra_vii.value + (1 - m) * vii
+                ra_vri.value = m * ra_vri.value + (1 - m) * vri
+
+        vrr = vrr + self.eps
+        vii = vii + self.eps
+        # Inverse square root of the 2x2 covariance (per channel).
+        det = vrr * vii - vri * vri
+        s = jnp.sqrt(jnp.maximum(det, 1e-12))
+        t = jnp.sqrt(vrr + vii + 2.0 * s)
+        inv_st = 1.0 / (s * t)
+        wrr = (vii + s) * inv_st
+        wii = (vrr + s) * inv_st
+        wri = -vri * inv_st
+
+        yr = wrr * cr + wri * ci
+        yi = wri * cr + wii * ci
+        zr = gamma_rr * yr + gamma_ri * yi + beta_r
+        zi = gamma_ri * yr + gamma_ii * yi + beta_i
+        return zr.astype(xr.dtype), zi.astype(xi.dtype)
+
+
+class ComplexBatchNormSimple(nn.Module):
+    """Independent real BatchNorms on each part (reference: dcunet.py:358-369)."""
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: ComplexPair, use_running_average: bool = False) -> ComplexPair:
+        xr, xi = x
+        bn_r = nn.BatchNorm(
+            use_running_average=use_running_average, momentum=self.momentum,
+            epsilon=self.eps, name="bn_r",
+        )
+        bn_i = nn.BatchNorm(
+            use_running_average=use_running_average, momentum=self.momentum,
+            epsilon=self.eps, name="bn_i",
+        )
+        return bn_r(xr), bn_i(xi)
+
+
+def complex_prelu(x: ComplexPair, alpha_r: jnp.ndarray, alpha_i: jnp.ndarray) -> ComplexPair:
+    """PReLU applied independently per part (the reference's choice)."""
+    xr, xi = x
+    return (
+        jnp.where(xr >= 0, xr, alpha_r * xr),
+        jnp.where(xi >= 0, xi, alpha_i * xi),
+    )

@@ -1,0 +1,88 @@
+"""Complex-op tests: combination rule, BN whitening, transpose shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.ops.complex_ops import (
+    ComplexBatchNorm,
+    ComplexBatchNormSimple,
+    ComplexConv2d,
+    ComplexConvTranspose2d,
+    ComplexDense,
+)
+
+
+def test_complex_dense_is_complex_multiply(rng):
+    xr = rng.standard_normal((4, 6)).astype(np.float32)
+    xi = rng.standard_normal((4, 6)).astype(np.float32)
+    mod = ComplexDense(5, use_bias=False)
+    params = mod.init(jax.random.PRNGKey(0), (jnp.asarray(xr), jnp.asarray(xi)))
+    or_, oi_ = mod.apply(params, (jnp.asarray(xr), jnp.asarray(xi)))
+    wr = np.asarray(params["params"]["dense_r"]["kernel"])
+    wi = np.asarray(params["params"]["dense_i"]["kernel"])
+    want = (xr + 1j * xi) @ (wr + 1j * wi)
+    np.testing.assert_allclose(np.asarray(or_), want.real, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oi_), want.imag, atol=1e-5)
+
+
+def test_complex_conv_matches_complex_arith(rng):
+    xr = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    mod = ComplexConv2d(3, (3, 3), use_bias=False)
+    params = mod.init(jax.random.PRNGKey(1), (xr, xi))
+    or_, oi_ = mod.apply(params, (xr, xi))
+    # real input, imaginary kernel path check: conv(i*x) = i * conv(x)
+    zr, zi = mod.apply(params, (jnp.zeros_like(xr), xr))
+    rr, ri = mod.apply(params, (xr, jnp.zeros_like(xr)))
+    np.testing.assert_allclose(np.asarray(zr), -np.asarray(ri), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zi), np.asarray(rr), atol=1e-5)
+    assert or_.shape == (1, 8, 8, 3)
+
+
+def test_complex_conv_transpose_upsamples(rng):
+    xr = jnp.asarray(rng.standard_normal((1, 16, 10, 4)).astype(np.float32))
+    xi = jnp.zeros_like(xr)
+    mod = ComplexConvTranspose2d(2, (3, 2), strides=(2, 1))
+    params = mod.init(jax.random.PRNGKey(2), (xr, xi))
+    or_, oi_ = mod.apply(params, (xr, xi))
+    assert or_.shape[1] > 16  # upsampled in freq
+
+
+def test_complex_batchnorm_whitens(rng):
+    # correlated inputs -> after CBN (train mode, default gamma) the real/imag
+    # covariance should be ~ identity/sqrt(2) scaled
+    base = rng.standard_normal((512, 4, 4, 3)).astype(np.float32)
+    xr = jnp.asarray(base * 2.0 + 1.0)
+    xi = jnp.asarray(base * -1.0 + 0.5 + 0.1 * rng.standard_normal((512, 4, 4, 3)).astype(np.float32))
+    mod = ComplexBatchNorm()
+    variables = mod.init(jax.random.PRNGKey(3), (xr, xi))
+    (or_, oi_), mutated = mod.apply(variables, (xr, xi), mutable=["batch_stats"])
+    r = np.asarray(or_).reshape(-1, 3)
+    i = np.asarray(oi_).reshape(-1, 3)
+    g = 1.0 / np.sqrt(2.0)
+    for c in range(3):
+        cov = np.cov(np.stack([r[:, c], i[:, c]]))
+        np.testing.assert_allclose(cov, np.eye(2) * g * g, atol=0.05)
+    # running stats updated
+    assert not np.allclose(np.asarray(mutated["batch_stats"]["mean_r"]), 0)
+
+
+def test_complex_batchnorm_inference_uses_running(rng):
+    xr = jnp.asarray(rng.standard_normal((64, 2, 2, 2)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((64, 2, 2, 2)).astype(np.float32))
+    mod = ComplexBatchNorm()
+    variables = mod.init(jax.random.PRNGKey(4), (xr, xi))
+    out_train, _ = mod.apply(variables, (xr, xi), mutable=["batch_stats"])
+    out_eval = mod.apply(variables, (xr, xi), use_running_average=True)
+    # initial running stats are the init values, so eval != train output
+    assert not np.allclose(np.asarray(out_train[0]), np.asarray(out_eval[0]))
+
+
+def test_complex_batchnorm_simple(rng):
+    xr = jnp.asarray(rng.standard_normal((32, 4, 4, 2)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((32, 4, 4, 2)).astype(np.float32))
+    mod = ComplexBatchNormSimple()
+    variables = mod.init(jax.random.PRNGKey(5), (xr, xi))
+    (or_, oi_), _ = mod.apply(variables, (xr, xi), mutable=["batch_stats"])
+    assert abs(float(jnp.mean(or_))) < 1e-5
