@@ -1,0 +1,166 @@
+"""Data layer tests: wav io, datasets, fixed-shape segment batching."""
+
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.config import Config
+from speech_enhancement_tpu.data import (
+    ClarityWavDataset,
+    SegmentLoader,
+    WavDataset,
+    get_dataloader,
+    get_train_wav_dataset,
+    read_wav,
+    write_wav,
+)
+from speech_enhancement_tpu.data.loader import EvalLoader, segment_item
+from speech_enhancement_tpu.data.synthetic import make_clarity, make_voicebank_demand
+
+
+@pytest.fixture(scope="module")
+def vbd_root(tmp_path_factory):
+    return make_voicebank_demand(str(tmp_path_factory.mktemp("vbd")), n_utterances=8)
+
+
+@pytest.fixture(scope="module")
+def clarity_root(tmp_path_factory):
+    return make_clarity(str(tmp_path_factory.mktemp("clarity")), n_scenes=4)
+
+
+def test_wav_io_round_trip(tmp_path, rng):
+    x = rng.standard_normal((2, 1234)).astype(np.float32) * 0.5
+    path = str(tmp_path / "x.wav")
+    write_wav(path, x, 16000)
+    y, sr = read_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    # int16 round trip (bounded signal; int16 clips outside [-1, 1])
+    x2 = np.clip(x, -0.9, 0.9)
+    write_wav(path, x2, 8000, dtype="int16")
+    y, sr = read_wav(path)
+    assert sr == 8000
+    np.testing.assert_allclose(y, x2, atol=1e-3)
+
+
+def test_wav_dataset_train_item(vbd_root):
+    import os
+
+    ds = WavDataset(
+        os.path.join(vbd_root, "noisy_trainset_wav"),
+        os.path.join(vbd_root, "clean_trainset_wav"),
+        sample_length=16000,
+        normalize="z-score",
+        train=True,
+    )
+    item = ds[0]
+    assert item["mixture"].shape == (1, 16000)
+    assert item["sources"].shape == (1, 1, 16000)
+    # z-scored
+    assert abs(item["mixture"].mean()) < 0.2
+    assert "mean" in item["mixture_meta"]
+
+
+def test_wav_dataset_eval_item(vbd_root):
+    import os
+
+    ds = WavDataset(
+        os.path.join(vbd_root, "noisy_trainset_wav"),
+        os.path.join(vbd_root, "clean_trainset_wav"),
+        sample_length=None,
+        train=False,
+    )
+    item = ds[0]
+    assert item["mixture"].shape[-1] == item["original_length"]
+    assert item["sources"].shape[0] == 1
+
+
+def test_clarity_dataset(clarity_root):
+    ds = ClarityWavDataset(
+        clarity_root,
+        scenes=["S00001", "S00002"],
+        sample_length=8000,
+        normalize="z-score",
+        type_dataset="se",
+        train=True,
+    )
+    assert len(ds) == 8  # 2 scenes x 4 channels
+    item = ds[0]
+    assert item["mixture"].shape == (2, 8000)
+    assert item["sources"].shape == (2, 2, 8000)  # [clean, interferer]
+    ds_dev = ClarityWavDataset(
+        clarity_root, scenes=["S00003"], sample_length=None, train=False,
+        type_dataset="deverb",
+    )
+    assert len(ds_dev) == 1
+    item = ds_dev[0]
+    assert "original_length" in item
+
+
+def test_segment_item():
+    x = np.ones((2, 10))
+    segs = segment_item(x, 4)
+    assert segs.shape == (3, 2, 4)
+    assert np.all(segs[2, :, 2:] == 0)  # padded tail
+
+
+def test_segment_loader_fixed_shapes(vbd_root):
+    import os
+
+    ds = WavDataset(
+        os.path.join(vbd_root, "noisy_trainset_wav"),
+        os.path.join(vbd_root, "clean_trainset_wav"),
+        sample_length=16000,
+        normalize="z-score",
+        train=True,
+    )
+    loader = SegmentLoader(ds, batch_size=4, segment_length=8000, seed=0)
+    shapes = set()
+    count = 0
+    for batch in loader:
+        shapes.add(batch["mixture"].shape)
+        assert batch["sources"].shape == (4, 1, 1, 8000)
+        count += 1
+    assert shapes == {(4, 1, 8000)}
+    assert count >= 2
+
+
+def test_segment_loader_epoch_reshuffles(vbd_root):
+    import os
+
+    ds = WavDataset(
+        os.path.join(vbd_root, "noisy_trainset_wav"),
+        os.path.join(vbd_root, "clean_trainset_wav"),
+        sample_length=16000,
+        normalize="z-score",
+        train=True,
+        seed=3,
+    )
+    loader = SegmentLoader(ds, batch_size=4, segment_length=8000, seed=0)
+    first = [b["mixture"].copy() for b in loader]
+    second = [b["mixture"].copy() for b in loader]
+    assert any(not np.allclose(a, b) for a, b in zip(first, second))
+
+
+def test_factories(vbd_root, clarity_root):
+    cfg = Config(
+        {
+            "dset": {
+                "name": "VoiceBankDEMAND", "wav": vbd_root, "split": [0.5, 0.25, 0.25],
+                "segment": 1, "audio_channels": 1, "sample_rate": 16000, "norm": "z-score",
+            },
+            "solver": {"batch_size": 2, "num_workers": 0},
+        }
+    )
+    train_set, val_set, test_set = get_train_wav_dataset(cfg.dset, None)
+    assert len(train_set) == 4 and len(val_set) == 2 and len(test_set) == 2
+    train_loader = get_dataloader(train_set, cfg, train=True)
+    batch = next(iter(train_loader))
+    assert batch["mixture"].shape == (2, 1, 16000)
+    test_loader = get_dataloader(test_set, cfg, train=False)
+    assert isinstance(test_loader, EvalLoader)
+
+    cfg.dset.name = "Clarity"
+    cfg.dset.wav = clarity_root
+    cfg.dset.mode = "se"
+    train_set, val_set, test_set = get_train_wav_dataset(cfg.dset, None)
+    assert len(train_set) >= 1
