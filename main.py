@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""CLI entry point (reference: main.py:1-6, upgraded with real flags).
+
+Usage: python main.py --config configs/dnn_vbd.yaml [--mode train|test] [--save]
+"""
+
+import argparse
+
+
+def cli():
+    parser = argparse.ArgumentParser(description="speech_enhancement_tpu")
+    parser.add_argument("--config", default="configs/dnn_vbd.yaml")
+    parser.add_argument("--mode", default="train", choices=["train", "validation", "test"])
+    parser.add_argument("--save", action="store_true", help="write enhanced wavs at test")
+    parser.add_argument("--run-dir", default=None)
+    args = parser.parse_args()
+
+    from speech_enhancement_tpu.main import main
+
+    main(args.config, mode=args.mode, save=args.save, run_dir=args.run_dir)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,66 @@
+"""Orchestration entry point (reference: src/train.py:18-110 ``main``).
+
+Builds datasets -> loaders -> model -> solver from one YAML config and
+dispatches on mode train / validation / test. Returns the Solver when
+``return_solver`` so notebooks/tests can poke at it (the reference offers
+the same knob, train.py:20).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from speech_enhancement_tpu.config import Config, load_config, with_defaults
+from speech_enhancement_tpu.data.loader import get_dataloader, get_train_wav_dataset
+from speech_enhancement_tpu.models import build_model
+from speech_enhancement_tpu.train.solver import Solver
+from speech_enhancement_tpu.utils import seed_everything
+
+
+def main(
+    config: Union[str, Config],
+    mode: str = "train",
+    return_solver: bool = False,
+    save: bool = False,
+    run_dir: Optional[str] = None,
+    mesh=None,
+):
+    if isinstance(config, str):
+        config = load_config(config)
+    else:
+        config = with_defaults(config)
+
+    seed = int(config.get("seed", 10))
+    seed_everything(seed)
+
+    train_set, val_set, test_set = get_train_wav_dataset(
+        config.dset, config.model, seed=seed
+    )
+    train_loader = get_dataloader(train_set, config, train=True, seed=seed)
+    val_loader = get_dataloader(val_set, config, train=True, seed=seed + 1)
+    test_loader = get_dataloader(test_set, config, train=False)
+
+    model, spec = build_model(config.model)
+
+    if mesh is None and int(config.parallel.get("data", 1)) > 1:
+        from speech_enhancement_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=int(config.parallel.data), model=int(config.parallel.model))
+
+    solver = Solver(
+        config, model, spec, train_loader, val_loader, test_loader,
+        run_dir=run_dir, mesh=mesh,
+    )
+
+    if mode == "train":
+        solver.train()
+    elif mode == "validation":
+        solver._run_one_epoch(0, train=False)
+    elif mode == "test":
+        solver.inference(save=save)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if return_solver:
+        return solver
+    return None

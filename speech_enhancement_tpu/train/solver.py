@@ -1,0 +1,399 @@
+"""Training engine (reference: src/solver.py:109-746 ``Solver``).
+
+Functionally restructured for TPU: one donated, jitted ``train_step`` pure
+function over a ``TrainState`` pytree replaces the reference's stateful god
+class + DataParallel (solver.py:132-145). Data parallelism is SPMD: when
+``config.parallel.data > 1`` the step is wrapped in ``shard_map`` over a
+1-D device mesh with ``psum`` gradient/batch-stat reduction over ICI (see
+speech_enhancement_tpu/parallel/mesh.py).
+
+Reproduced behaviors: early stopping with patience (solver.py:355-384),
+gradient clipping (487-490), grad-norm telemetry (494-498), per-epoch
+validation interval, checkpoint artifacts + resume/preload (233-341),
+enhanced-vs-mixture dual metric scoring at test (595-604), TensorBoard
+scalars when available (504-519).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speech_enhancement_tpu.config import save_json, save_yaml
+from speech_enhancement_tpu.data.loader import EvalLoader
+from speech_enhancement_tpu.models.types import SignalSpec
+from speech_enhancement_tpu.ops.stft import stft_custom
+from speech_enhancement_tpu.train import checkpoints as ckpt
+from speech_enhancement_tpu.train import losses as losses_lib
+from speech_enhancement_tpu.train import metrics as metrics_lib
+from speech_enhancement_tpu.train.evaluate import evaluate_utterance
+
+METRIC_HIGHER_BETTER = {"loss": False, "sisdr": True, "stoi": True, "pesq": True}
+
+
+def get_optimizer(optim_config) -> optax.GradientTransformation:
+    """Optimizer factory (reference: src/distrib.py:244-261) + global-norm clip."""
+    name = str(optim_config.optim)
+    if name == "adam":
+        opt = optax.adam(
+            float(optim_config.lr), b1=float(optim_config.beta1), b2=float(optim_config.beta2)
+        )
+    elif name == "adamw":
+        opt = optax.adamw(
+            float(optim_config.lr), b1=float(optim_config.beta1), b2=float(optim_config.beta2)
+        )
+    elif name == "sgd":
+        opt = optax.sgd(float(optim_config.lr), momentum=float(optim_config.get("momentum", 0.9)))
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    clip = float(optim_config.get("clip_grad", 0) or 0)
+    if clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
+
+
+class Solver:
+    """Train/validate/test driver for one model + dataset configuration."""
+
+    def __init__(
+        self,
+        config,
+        model,
+        spec: SignalSpec,
+        train_loader,
+        val_loader,
+        test_loader: Optional[EvalLoader] = None,
+        run_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = model
+        self.spec = spec
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.mesh = mesh
+
+        self.loss_name = str(config.optim.loss)
+        self.loss_fn = losses_lib.get_loss_function(self.loss_name)
+        self.use_pit = bool(config.optim.get("pit", False)) and spec.multi_speaker
+        self.pit_discard_compat = bool(config.optim.get("pit_discard_compat", False))
+        self.optimizer = get_optimizer(config.optim)
+
+        root = str(config.solver.get("root", "."))
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        self.run_dir = run_dir or os.path.join(root, "result", str(config.model.name), stamp)
+        self.checkpoint_dir = os.path.join(self.run_dir, "checkpoints")
+        self.log_dir = os.path.join(self.run_dir, "logs")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+        save_yaml(config, os.path.join(self.run_dir, "config.yaml"))
+
+        self.writer = self._make_writer()
+        self.scores: Dict[str, Any] = {"train_loss": [], "val_loss": [], "best_score": None}
+        self.start_epoch = 0
+        self.early_stop_count = 0
+
+        self._rng = jax.random.PRNGKey(int(config.get("seed", 10)))
+        self.state = self._init_state()
+        self._train_step = self._build_train_step()
+        self._val_step = self._build_val_step()
+
+        resume = str(config.solver.get("resume", "") or "")
+        preload = str(config.solver.get("preloaded_model", "") or "")
+        if resume:
+            self._resume_checkpoint(resume)
+        elif preload:
+            self._preload_model(preload)
+
+    # ------------------------------------------------------------------ setup
+    def _make_writer(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(self.log_dir, max_queue=5, flush_secs=30)
+        except Exception:
+            return None
+
+    def _example_batch(self):
+        cfg = self.config
+        seg = int(cfg.dset.sample_rate * cfg.dset.segment)
+        batch = int(cfg.solver.batch_size)
+        channels = int(cfg.dset.audio_channels)
+        n_spk = max(1, int(cfg.model.get("num_spk", 1)))
+        mixture = jnp.zeros((batch, channels, seg), jnp.float32)
+        sources = jnp.zeros((batch, n_spk, channels, seg), jnp.float32)
+        return mixture, sources
+
+    def _adapt(self, mixture: jnp.ndarray, sources: jnp.ndarray):
+        """Shape adaptation per SignalSpec (reference solver.py:440-458)."""
+        if self.spec.monarch:
+            target = sources[:, 0]  # squeeze speaker axis
+        else:
+            target = sources
+        if self.spec.domain == "stft":
+            mixture = stft_custom(mixture, self.config.model)
+            target = stft_custom(target, self.config.model)
+        return mixture, target
+
+    def _init_state(self) -> Dict[str, Any]:
+        mixture, sources = self._example_batch()
+        inputs, _ = self._adapt(mixture, sources)
+        self._rng, init_rng = jax.random.split(self._rng)
+        variables = self.model.init({"params": init_rng, "dropout": init_rng}, inputs)
+        params = variables.get("params", {})
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        return {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def _forward_train(self, params, batch_stats, rng, inputs):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = self.model.apply(
+            variables, inputs, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
+        )
+        output, mutated = out
+        return output, mutated.get("batch_stats", batch_stats)
+
+    def _compute_loss(self, output, target, inputs):
+        if self.use_pit and target.ndim >= 2 and target.shape[1] >= 2:
+            pit_value, _ = losses_lib.pit_loss(output, target, self.loss_fn)
+            if not self.pit_discard_compat:
+                return pit_value
+            # reference computes PIT then overwrites it (solver.py:469-480)
+        if self.loss_name.startswith("psa"):
+            return self.loss_fn(output, target, inputs)
+        return self.loss_fn(output, target)
+
+    def _build_train_step(self):
+        def step_fn(state, rng, mixture, sources, axis_name=None):
+            if axis_name is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            inputs, target = self._adapt(mixture, sources)
+
+            def loss_of(params):
+                output, new_stats = self._forward_train(
+                    params, state["batch_stats"], rng, inputs
+                )
+                loss = self._compute_loss(output, target, inputs)
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                state["params"]
+            )
+            if axis_name is not None:
+                # SPMD data parallelism: all-reduce over ICI (replaces
+                # DataParallel's gather, reference solver.py:144-145)
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+                new_stats = jax.lax.pmean(new_stats, axis_name)
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt = self.optimizer.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": new_params,
+                "batch_stats": new_stats,
+                "opt_state": new_opt,
+                "step": state["step"] + 1,
+            }
+            return new_state, loss, grad_norm
+
+        if self.mesh is not None:
+            from speech_enhancement_tpu.parallel.mesh import shard_train_step
+
+            return shard_train_step(step_fn, self.mesh)
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_val_step(self):
+        def val_fn(state, mixture, sources):
+            inputs, target = self._adapt(mixture, sources)
+            variables = {"params": state["params"]}
+            if state["batch_stats"]:
+                variables["batch_stats"] = state["batch_stats"]
+            output = self.model.apply(variables, inputs, train=False)
+            return self._compute_loss(output, target, inputs)
+
+        return jax.jit(val_fn)
+
+    # ----------------------------------------------------------------- epochs
+    def _run_one_epoch(self, epoch: int, train: bool = True) -> float:
+        loader = self.train_loader if train else self.val_loader
+        cfg = self.config.solver
+        limit = None
+        if train and not bool(cfg.get("all_steps", True)):
+            limit = int(cfg.get("total_steps", 0)) or None
+        if not train:
+            limit = int(cfg.validation.get("total_steps", 0)) or None
+
+        total, count = 0.0, 0
+        for step, batch in enumerate(loader):
+            if limit is not None and step >= limit:
+                break
+            mixture = jnp.asarray(batch["mixture"])
+            sources = jnp.asarray(batch["sources"])
+            if train:
+                self._rng, rng = jax.random.split(self._rng)
+                self.state, loss, grad_norm = self._train_step(
+                    self.state, rng, mixture, sources
+                )
+                if self.writer:
+                    gstep = epoch * 100000 + step
+                    self.writer.add_scalar("train/step_loss", float(loss), gstep)
+                    self.writer.add_scalar("train/grad_norm", float(grad_norm), gstep)
+            else:
+                loss = self._val_step(self.state, mixture, sources)
+            total += float(loss)
+            count += 1
+        return total / max(count, 1)
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.config.solver
+        epochs = int(cfg.epochs)
+        patience = int(cfg.get("patience", 40))
+        val_interval = int(cfg.validation.get("interval", 1))
+        save_interval = int(cfg.get("save_checkpoint_interval", 1))
+        metric_name = str(cfg.validation.get("metric", "loss"))
+
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            train_loss = self._run_one_epoch(epoch, train=True)
+            self.scores["train_loss"].append(train_loss)
+            if self.writer:
+                self.writer.add_scalar("train/epoch_loss", train_loss, epoch)
+
+            val_loss = None
+            if (epoch + 1) % val_interval == 0:
+                val_loss = self._run_one_epoch(epoch, train=False)
+                self.scores["val_loss"].append(val_loss)
+                if self.writer:
+                    self.writer.add_scalar("val/epoch_loss", val_loss, epoch)
+
+            score = val_loss if val_loss is not None else train_loss
+            is_best = self._is_best(metric_name, score)
+            if (epoch + 1) % save_interval == 0 or is_best:
+                ckpt.save_checkpoint(
+                    self.checkpoint_dir,
+                    {k: self.state[k] for k in ("params", "batch_stats", "opt_state")},
+                    epoch,
+                    metric_name,
+                    float(score),
+                    self.scores,
+                    is_best,
+                )
+            if is_best:
+                self.early_stop_count = 0
+            else:
+                self.early_stop_count += 1
+            print(
+                f"epoch {epoch}: train_loss={train_loss:.5f}"
+                + (f" val_loss={val_loss:.5f}" if val_loss is not None else "")
+                + f" best={self.scores['best_score']:.5f}"
+                + f" ({time.time() - t0:.1f}s)"
+            )
+            if self.early_stop_count > patience:
+                print(f"early stopping at epoch {epoch} (patience {patience})")
+                break
+        save_json(self.scores, os.path.join(self.checkpoint_dir, "state.json"))
+        return self.scores
+
+    def _is_best(self, metric_name: str, score: float) -> bool:
+        higher_better = METRIC_HIGHER_BETTER.get(metric_name, False)
+        best = self.scores.get("best_score")
+        if best is None or (score > best if higher_better else score < best):
+            self.scores["best_score"] = float(score)
+            return True
+        return False
+
+    # -------------------------------------------------------------- inference
+    def inference(self, save: bool = False, results_csv: Optional[str] = None) -> Dict[str, Any]:
+        """Full-utterance test pass with dual scoring (solver.py:534-641)."""
+        assert self.test_loader is not None, "no test loader configured"
+        cfg = self.config.solver.test
+        limit = int(cfg.get("total_steps", 0)) or None
+        sr = int(self.config.dset.sample_rate)
+
+        def apply_eval(variables, inputs):
+            return self.model.apply(variables, inputs, train=False)
+
+        variables = {"params": self.state["params"]}
+        if self.state["batch_stats"]:
+            variables["batch_stats"] = self.state["batch_stats"]
+
+        results = metrics_lib.SpeechMetricResultsFile(
+            results_csv or os.path.join(self.run_dir, "results.csv")
+        )
+        results.clear()
+        agg = {"enhanced": {"sisdr": [], "stoi": []}, "mixture": {"sisdr": [], "stoi": []}}
+        for step, item in enumerate(self.test_loader):
+            if limit is not None and step >= limit:
+                break
+            mixture = jnp.asarray(item["mixture"])[None]  # [1, C, T]
+            clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
+            enhanced = evaluate_utterance(
+                mixture, apply_eval, variables, self.spec, self.config,
+                num_sources=int(self.config.model.get("num_spk", 1)),
+            )
+            if self.spec.multi_speaker:
+                enhanced = enhanced[:, 0]  # score the target-speaker estimate
+            enhanced_np = np.asarray(enhanced)
+            mixture_np = np.asarray(mixture)
+
+            m_enh = metrics_lib.compute_metrics(clean, enhanced_np, sr, ("sisdr", "stoi"))
+            m_mix = metrics_lib.compute_metrics(clean, mixture_np, sr, ("sisdr", "stoi"))
+            for key in ("sisdr", "stoi"):
+                agg["enhanced"][key].append(m_enh[key])
+                agg["mixture"][key].append(m_mix[key])
+            results.add_result(
+                item["name"],
+                sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
+                stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
+            )
+            if save:
+                from speech_enhancement_tpu.data.wav_io import write_wav
+
+                out_dir = os.path.join(self.run_dir, "enhanced")
+                write_wav(os.path.join(out_dir, f"{item['name']}.wav"), enhanced_np[0], sr)
+
+        summary = {
+            side: {k: float(np.mean(v)) for k, v in vals.items() if v}
+            for side, vals in agg.items()
+        }
+        if self.writer:
+            for side, vals in summary.items():
+                for k, v in vals.items():
+                    self.writer.add_scalar(f"test/{side}_{k}", v, 0)
+        save_json(summary, os.path.join(self.run_dir, "test_summary.json"))
+        return summary
+
+    # ------------------------------------------------------------ checkpoints
+    def _resume_checkpoint(self, run_dir: str) -> None:
+        path = ckpt.latest_checkpoint(run_dir)
+        if path is None:
+            raise FileNotFoundError(f"no latest_model.ckpt under {run_dir}")
+        template = {k: self.state[k] for k in ("params", "batch_stats", "opt_state")}
+        restored = ckpt.load_checkpoint(path, template)
+        self.state["params"] = restored["params"]
+        self.state["batch_stats"] = restored["batch_stats"]
+        if bool(self.config.optim.get("load", False)):
+            self.state["opt_state"] = restored["opt_state"]
+        scores = ckpt.load_scores(run_dir)
+        if scores:
+            self.scores["best_score"] = scores.get("best_score")
+        print(f"resumed from {path}")
+
+    def _preload_model(self, path: str) -> None:
+        restored = ckpt.load_checkpoint(path, {"params": self.state["params"]})
+        self.state["params"] = restored["params"]
+        print(f"preloaded weights from {path}")
