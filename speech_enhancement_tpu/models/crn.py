@@ -1,0 +1,103 @@
+"""CRN — convolutional recurrent masking net (reference: src/model/crn.py, 3 MB).
+
+Encoder of 5 causal conv blocks (k=(3,2), s=(2,1), time-chomped) -> 2-layer
+LSTM over flattened channel x freq (1792 wide for n_fft=512) -> mirror
+decoder of causal transposed convs with skip concats -> magnitude mask.
+
+Internal layout is NHWC ([B, F, T, C]) so XLA keeps convs on the MXU; the
+recurrence is the hoisted-projection scan LSTM.
+
+The reference's amplitude is ``sqrt(re^2 - im^2)`` which goes NaN (its
+README flags training as broken, crn.py:101, SURVEY §6b.2). The rebuild
+defaults to the correct magnitude; ``amplitude_compat=True`` replicates the
+reference formula bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from speech_enhancement_tpu.models.types import STFT_MONO, SignalSpec
+from speech_enhancement_tpu.ops.rnn import LSTMLayer
+
+_ENC_CHANNELS = (16, 32, 64, 128, 256)
+
+
+class _CausalConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # x: [B, F, T, C]; freq VALID k3 s2, time causal k2 s1 (pad left 1)
+        x = nn.Conv(
+            self.features, (3, 2), strides=(2, 1), padding=((0, 0), (1, 0)), name="conv"
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.elu(x)
+
+
+class _CausalTransConvBlock(nn.Module):
+    features: int
+    is_last: bool = False
+    extra_freq_pad: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.features, (3, 2), strides=(2, 1), padding="VALID", name="conv"
+        )(x)
+        x = x[:, :, :-1, :]  # chomp the extra time step (causal)
+        if self.extra_freq_pad:
+            # torch output_padding=(1, 0): zeros appended at the high-freq edge
+            x = jnp.pad(x, ((0, 0), (0, self.extra_freq_pad), (0, 0), (0, 0)))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.relu(x) if self.is_last else nn.elu(x)
+
+
+class CRN(nn.Module):
+    SPEC: SignalSpec = STFT_MONO
+
+    use_lstm: bool = True
+    amplitude_compat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # x: [B, 1, F, T, 2]
+        if self.amplitude_compat:
+            amplitude = jnp.sqrt(x[..., 0] ** 2 - x[..., 1] ** 2)  # reference NaN quirk
+        else:
+            amplitude = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2 + 1e-8)
+        h = jnp.moveaxis(amplitude, 1, -1)  # [B, F, T, C=1]
+
+        skips = []
+        for i, features in enumerate(_ENC_CHANNELS):
+            h = _CausalConvBlock(features, name=f"enc_{i + 1}")(h, train)
+            skips.append(h)
+
+        if self.use_lstm:
+            # torch flattens channel-major: feature index = c * n_freq + f
+            # (crn.py:115-124); match that ordering.
+            batch, n_freq, n_frame, n_chan = h.shape
+            flat = h.transpose(0, 2, 3, 1).reshape(batch, n_frame, n_chan * n_freq)
+            flat, _ = LSTMLayer(n_chan * n_freq, name="lstm1")(flat)
+            flat, _ = LSTMLayer(n_chan * n_freq, name="lstm2")(flat)
+            mid = flat.reshape(batch, n_frame, n_chan, n_freq)
+            mid = mid.transpose(0, 3, 1, 2)  # [B, F, T, C]
+        else:
+            mid = h
+
+        d = mid
+        dec_channels = (128, 64, 32, 16, 1)
+        for i, features in enumerate(dec_channels):
+            skip = skips[len(skips) - 1 - i]
+            d = jnp.concatenate([d, skip], axis=-1)
+            d = _CausalTransConvBlock(
+                features,
+                is_last=(i == len(dec_channels) - 1),
+                extra_freq_pad=1 if i == 3 else 0,
+                name=f"dec_{i + 1}",
+            )(d, train)
+
+        mask = jnp.moveaxis(d, -1, 1)  # [B, 1, F, T]
+        return mask[..., None] * x

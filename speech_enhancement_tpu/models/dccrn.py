@@ -1,0 +1,245 @@
+"""DCCRN — deep complex conv-recurrent net on raw waveform (reference:
+src/model/dccrn.py, 9.4 MB; Hu et al., Interspeech 2020). The framework's
+flagship benchmark model (BASELINE.md north star).
+
+Pipeline (reference dccrn.py:145-229):
+  wav -> ConvSTFT (win 400 / hop 100 / fft 512, non-centered, Hann)
+      -> drop DC bin, complex encoder x6 (ComplexConv2d k=(5,2) s=(2,1),
+         causal time pad, complex BN, PReLU)
+      -> complex LSTM x2 (hidden 64/part, final projection back)
+      -> complex decoder x6 (ComplexConvTranspose2d, complex-cat skips,
+         time chomp)
+      -> mask head, masking modes:
+         'E' tanh|M| x |X|, phase(X) + phase(M)   (the default)
+         'C' complex multiply, 'R' independent real multiply
+      -> ConviSTFT (pinv basis, window-envelope normalized) -> clamp(-1, 1)
+
+TPU-first design:
+  * ConvSTFT / ConviSTFT are framed *matmuls* against precomputed rFFT /
+    pinv bases — [T', win] @ [win, 2F] on the MXU — instead of the
+    reference's stride-100 conv1d (dccrn.py:687-701), with the overlap-add
+    inverse built from the scatter-free chunked OLA in ops/frame.py;
+  * complex convs run channels-last (NHWC) as paired real convs;
+  * the complex LSTM is 4 hoisted-projection scans (ops/rnn.py).
+
+Deviation from the reference (documented): ConviSTFT's output-length trim
+uses the actual input length instead of the constructor's fixed
+``length=16384`` (dccrn.py:740-744), which would truncate any utterance
+longer than ~1 s — the reference never trained this path (its README/tests
+mark DCCRN untested end-to-end).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.models.types import WAV_MONO, SignalSpec
+from speech_enhancement_tpu.ops.complex_ops import ComplexBatchNorm
+from speech_enhancement_tpu.ops.frame import frame_signal, overlap_add
+from speech_enhancement_tpu.ops.rnn import ComplexLSTM
+
+
+@lru_cache(maxsize=8)
+def _stft_bases(win_len: int, fft_len: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(forward [win, 2F], inverse [2F, win], window [win]) — dccrn.py:649-666."""
+    n = np.arange(win_len)
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_len)  # periodic hann
+    fourier = np.fft.rfft(np.eye(fft_len))[:win_len]  # [win, F]
+    kernel = np.concatenate([np.real(fourier), np.imag(fourier)], axis=1).T  # [2F, win]
+    inv = np.linalg.pinv(kernel).T  # [2F, win]
+    fwd = (kernel * window).T.astype(np.float32)  # [win, 2F]
+    inv = (inv * window).astype(np.float32)  # [2F, win]
+    return fwd, inv, window.astype(np.float32)
+
+
+def conv_stft(wav: jnp.ndarray, win_len: int, win_inc: int, fft_len: int) -> jnp.ndarray:
+    """[B, T] -> [B, 2F, T'] with the reference's both-sides (win-hop) pad."""
+    pad = win_len - win_inc
+    x = jnp.pad(wav, ((0, 0), (pad, pad)))
+    frames = frame_signal(x, win_len, win_inc)  # [B, T', win]
+    fwd, _, _ = _stft_bases(win_len, fft_len)
+    spec = jnp.matmul(frames, jnp.asarray(fwd), preferred_element_type=jnp.float32)
+    return jnp.swapaxes(spec, 1, 2)  # [B, 2F, T']
+
+
+def conv_istft(
+    spec: jnp.ndarray, win_len: int, win_inc: int, fft_len: int, length: int
+) -> jnp.ndarray:
+    """[B, 2F, T'] -> [B, length] via pinv basis + window-envelope division."""
+    _, inv, window = _stft_bases(win_len, fft_len)
+    frames = jnp.matmul(
+        jnp.swapaxes(spec, 1, 2), jnp.asarray(inv), preferred_element_type=jnp.float32
+    )  # [B, T', win]
+    signal = overlap_add(frames, win_inc)
+    n_frames = spec.shape[-1]
+    env = overlap_add(
+        jnp.broadcast_to(jnp.asarray(window * window), (n_frames, win_len)), win_inc
+    )
+    signal = signal / (env + 1e-8)
+    pad = win_len - win_inc
+    return signal[..., pad : pad + length]
+
+
+class _PReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, 0.25), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class _ComplexConvBlock(nn.Module):
+    """ComplexConv2d(k=(5,2), s=(2,1), causal) + complex BN + PReLU."""
+
+    features: int  # per complex part
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        xr, xi = x
+        pad = ((2, 2), (1, 0))  # freq symmetric, time causal (dccrn.py:358-361)
+        conv_r = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad, name="conv_r")
+        conv_i = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad, name="conv_i")
+        yr = conv_r(xr) - conv_i(xi)
+        yi = conv_r(xi) + conv_i(xr)
+        yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
+        prelu = _PReLU(name="prelu")
+        return prelu(yr), prelu(yi)
+
+
+class _ComplexDeconvBlock(nn.Module):
+    features: int
+    kernel_size: int = 5
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        xr, xi = x
+        # torch: stride (2,1), padding (2,0), output_padding (1,0) in freq;
+        # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
+        conv_r = nn.ConvTranspose(
+            self.features, (self.kernel_size, 2), (2, 1), padding="VALID", name="conv_r"
+        )
+        conv_i = nn.ConvTranspose(
+            self.features, (self.kernel_size, 2), (2, 1), padding="VALID", name="conv_i"
+        )
+
+        def fix(y):
+            # VALID transpose gives (in-1)*2 + 5 freq rows; torch's
+            # padding=2 / output_padding=1 crops 2 left and (2 - 1) right.
+            y = y[:, 2:-1, :, :]
+            return y[:, :, 1:, :]  # time chomp (drop first step)
+
+        yr = fix(conv_r(xr) - conv_i(xi))
+        yi = fix(conv_r(xi) + conv_i(xr))
+        if self.last:
+            return yr, yi
+        yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
+        prelu = _PReLU(name="prelu")
+        return prelu(yr), prelu(yi)
+
+
+class DCCRN(nn.Module):
+    SPEC: SignalSpec = WAV_MONO
+
+    rnn_layers: int = 2
+    rnn_units: int = 128
+    win_len: int = 400
+    win_inc: int = 100
+    fft_len: int = 512
+    masking_mode: str = "E"
+    use_clstm: bool = True
+    use_cbn: bool = True
+    kernel_size: int = 5
+    kernel_num: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # inputs: [B, C=1, T] or [B, T]
+        squeeze_channel = inputs.ndim == 3
+        wav = inputs[:, 0] if squeeze_channel else inputs
+        length = wav.shape[-1]
+        n_freq = self.fft_len // 2 + 1
+
+        specs = conv_stft(wav, self.win_len, self.win_inc, self.fft_len)
+        real = specs[:, :n_freq]
+        imag = specs[:, n_freq:]
+        spec_mags = jnp.sqrt(real**2 + imag**2 + 1e-8)
+        spec_phase = jnp.arctan2(imag, real)
+
+        # drop DC bin; channels-last [B, F-1, T', C] per complex part
+        xr = real[:, 1:, :, None]
+        xi = imag[:, 1:, :, None]
+
+        skips = []
+        for idx, features in enumerate(self.kernel_num):
+            xr, xi = _ComplexConvBlock(
+                features // 2, self.kernel_size, name=f"enc_{idx}"
+            )((xr, xi), train)
+            skips.append((xr, xi))
+
+        batch, dims, frames, channels = xr.shape
+        if self.use_clstm:
+            r_in = xr.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
+            i_in = xi.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
+            for idx in range(self.rnn_layers):
+                last = idx == self.rnn_layers - 1
+                r_in, i_in = ComplexLSTM(
+                    hidden_size=self.rnn_units // 2,
+                    projection_dim=channels * dims if last else None,
+                    name=f"clstm_{idx}",
+                )(r_in, i_in)
+            xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
+            xi = i_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
+        else:
+            from speech_enhancement_tpu.ops.rnn import LSTMLayer
+
+            flat = jnp.concatenate([xr, xi], axis=-1)
+            flat = flat.transpose(0, 2, 3, 1).reshape(batch, frames, 2 * channels * dims)
+            for idx in range(self.rnn_layers):
+                flat, _ = LSTMLayer(self.rnn_units, name=f"lstm_{idx}")(flat)
+            flat = nn.Dense(2 * channels * dims, name="transform")(flat)
+            flat = flat.reshape(batch, frames, 2 * channels, dims).transpose(0, 3, 1, 2)
+            xr, xi = flat[..., :channels], flat[..., channels:]
+
+        # decoder with complex-cat skips, mirrored channels
+        dec_channels = list(self.kernel_num[::-1][1:]) + [2]
+        for idx, features in enumerate(dec_channels):
+            skip_r, skip_i = skips[len(skips) - 1 - idx]
+            xr = jnp.concatenate([xr, skip_r], axis=-1)
+            xi = jnp.concatenate([xi, skip_i], axis=-1)
+            xr, xi = _ComplexDeconvBlock(
+                features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
+                name=f"dec_{idx}",
+            )((xr, xi), train)
+
+        mask_real = jnp.pad(xr[..., 0], ((0, 0), (1, 0), (0, 0)))  # DC bin back
+        mask_imag = jnp.pad(xi[..., 0], ((0, 0), (1, 0), (0, 0)))
+
+        if self.masking_mode == "E":
+            mask_mags_raw = jnp.sqrt(mask_real**2 + mask_imag**2)
+            real_phase = mask_real / (mask_mags_raw + 1e-8)
+            imag_phase = mask_imag / (mask_mags_raw + 1e-8)
+            mask_phase = jnp.arctan2(imag_phase, real_phase)
+            mask_mags = jnp.tanh(mask_mags_raw)
+            est_mags = mask_mags * spec_mags
+            est_phase = spec_phase + mask_phase
+            out_real = est_mags * jnp.cos(est_phase)
+            out_imag = est_mags * jnp.sin(est_phase)
+        elif self.masking_mode == "C":
+            out_real = real * mask_real - imag * mask_imag
+            out_imag = real * mask_imag + imag * mask_real
+        elif self.masking_mode == "R":
+            out_real = real * mask_real
+            out_imag = imag * mask_imag
+        else:
+            raise ValueError(f"unknown masking_mode {self.masking_mode!r}")
+
+        out_spec = jnp.concatenate([out_real, out_imag], axis=1)
+        out_wav = conv_istft(out_spec, self.win_len, self.win_inc, self.fft_len, length)
+        out_wav = jnp.clip(out_wav, -1.0, 1.0)
+        return out_wav[:, None, :] if squeeze_channel else out_wav

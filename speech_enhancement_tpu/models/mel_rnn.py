@@ -1,0 +1,74 @@
+"""MelRNN magnitude-mask model (reference: src/model/mel_rnn.py, 1.4 MB).
+
+Mono STFT masker: amplitude -> optional mel projection (power 0.3
+compression first) -> RNN/LSTM/GRU (no bias) -> BatchNorm -> two FC layers
+(ReLU, Sigmoid) -> optional inverse-mel -> mask multiply on (real, imag).
+
+Quirk preserved for parity: the reference's ``Amplitude`` computes
+``|re^2 - im^2|``, not the true magnitude (mel_rnn.py:121-123, SURVEY
+§6b.2).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from speech_enhancement_tpu.models.types import STFT_MONO, SignalSpec
+from speech_enhancement_tpu.ops.mel import inverse_mel_filterbank, mel_filterbank
+from speech_enhancement_tpu.ops.rnn import RNNStack
+
+
+def amplitude_quirk(x: jnp.ndarray) -> jnp.ndarray:
+    """|re^2 - im^2| (reference Amplitude, mel_rnn.py:121-123)."""
+    return jnp.abs(x[..., 0] ** 2 - x[..., 1] ** 2)
+
+
+class MelRNN(nn.Module):
+    SPEC: SignalSpec = STFT_MONO
+
+    n_fft: int = 512
+    hop_length: int = 256
+    n_mels: int = 0
+    f_min: float = 100.0
+    f_max: float = 8000.0
+    sample_rate: int = 16000
+    rnn_hidden: int = 256
+    rnn_layer: int = 2
+    rnn_type: str = "rnn"
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # inputs: [B, 1, F, T, 2] (mono)
+        n_freqs = self.n_fft // 2 + 1
+        x = amplitude_quirk(inputs)
+        x = x[:, 0]  # merge (mono) channel -> [B, F, T]
+
+        if self.n_mels:
+            fb = jnp.asarray(
+                mel_filterbank(n_freqs, self.n_mels, self.sample_rate, self.f_min, self.f_max)
+            )
+            x = jnp.power(x, 0.3)
+            x = jnp.einsum("bft,fm->bmt", x, fb)
+
+        x = jnp.swapaxes(x, -1, -2)  # [B, T, features]
+        x = RNNStack(
+            rnn_type=self.rnn_type, hidden_size=self.rnn_hidden,
+            num_layers=self.rnn_layer, use_bias=False, name="rnn",
+        )(x, train=train)
+        # BatchNorm over features (torch BatchNorm1d on [B, C, T] normalizes C)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = nn.relu(nn.Dense(self.n_mels or n_freqs, name="fc1")(x))
+        x = nn.sigmoid(nn.Dense(self.n_mels or n_freqs, name="fc2")(x))
+        x = jnp.swapaxes(x, -1, -2)  # [B, features, T]
+
+        if self.n_mels:
+            inv = jnp.asarray(
+                inverse_mel_filterbank(
+                    n_freqs, self.n_mels, self.sample_rate, self.f_min, self.f_max
+                )
+            )
+            x = jnp.einsum("bmt,mf->bft", x, inv)
+
+        mask = x[:, None, :, :, None]  # [B, 1, F, T, 1]
+        return inputs * mask

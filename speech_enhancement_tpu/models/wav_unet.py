@@ -1,0 +1,73 @@
+"""Wave-U-Net time-domain model (reference: src/model/wav_unet.py, 38.7 MB).
+
+12 down-sampling Conv1d(k=15) + BN + LeakyReLU layers with stride-2
+decimation (``o[:, :, ::2]``), a middle conv, then 12 up-sampling layers
+with 2x linear interpolation (align_corners) and skip concats, finishing
+with a 1x1 conv + tanh over [decoder output, input].
+
+Layout: NWC [B, T, C] internally (TPU conv layout); boundary is the wav
+contract [B, C, T] with C = 1.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from speech_enhancement_tpu.models.types import WAV_MONO, SignalSpec
+
+
+def _linear_upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x linear interpolation, align_corners=True (torch F.interpolate)."""
+    b, t, c = x.shape
+    out_t = t * 2
+    # align_corners: output position i maps to input coordinate i*(t-1)/(out_t-1)
+    pos = jnp.arange(out_t) * (t - 1) / (out_t - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    frac = (pos - lo)[None, :, None]
+    return x[:, lo, :] * (1.0 - frac) + x[:, hi, :] * frac
+
+
+class _ConvBlock(nn.Module):
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel,), padding=self.kernel // 2, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class WavUNet(nn.Module):
+    SPEC: SignalSpec = WAV_MONO
+
+    unet_nlayers: int = 12
+    channels_interval: int = 24
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # wav: [B, C=1, T]; T must be divisible by 2**unet_nlayers
+        x = jnp.swapaxes(wav, 1, 2)  # [B, T, C]
+        inp = x
+
+        skips = []
+        for i in range(self.unet_nlayers):
+            x = _ConvBlock((i + 1) * self.channels_interval, 15, name=f"enc_{i}")(x, train)
+            skips.append(x)
+            x = x[:, ::2, :]  # stride-2 decimation
+
+        x = _ConvBlock(self.unet_nlayers * self.channels_interval, 15, name="middle")(x, train)
+
+        for i in range(self.unet_nlayers):
+            x = _linear_upsample2(x)
+            x = jnp.concatenate([x, skips[self.unet_nlayers - i - 1]], axis=-1)
+            x = _ConvBlock(
+                (self.unet_nlayers - i) * self.channels_interval, 5, name=f"dec_{i}"
+            )(x, train)
+
+        x = jnp.concatenate([x, inp], axis=-1)
+        x = nn.Conv(1, (1,), name="out")(x)
+        x = jnp.tanh(x)
+        return jnp.swapaxes(x, 1, 2)  # [B, 1, T]

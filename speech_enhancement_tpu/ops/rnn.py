@@ -39,6 +39,7 @@ class LSTMLayer(nn.Module):
 
     hidden_size: int
     reverse: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(
@@ -51,11 +52,15 @@ class LSTMLayer(nn.Module):
         init = _uniform_init(h_dim)
         w_ih = self.param("w_ih", init, (in_dim, 4 * h_dim))
         w_hh = self.param("w_hh", init, (h_dim, 4 * h_dim))
-        b_ih = self.param("b_ih", init, (4 * h_dim,))
-        b_hh = self.param("b_hh", init, (4 * h_dim,))
+        if self.use_bias:
+            b_ih = self.param("b_ih", init, (4 * h_dim,))
+            b_hh = self.param("b_hh", init, (4 * h_dim,))
+            bias = b_ih + b_hh
+        else:
+            bias = 0.0
 
         # Hoist the input projection: one big MXU matmul for the whole sequence.
-        x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh
+        x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + bias
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major for scan
 
         if init_state is None:
@@ -85,6 +90,7 @@ class GRULayer(nn.Module):
 
     hidden_size: int
     reverse: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,8 +99,11 @@ class GRULayer(nn.Module):
         init = _uniform_init(h_dim)
         w_ih = self.param("w_ih", init, (in_dim, 3 * h_dim))
         w_hh = self.param("w_hh", init, (h_dim, 3 * h_dim))
-        b_ih = self.param("b_ih", init, (3 * h_dim,))
-        b_hh = self.param("b_hh", init, (3 * h_dim,))
+        if self.use_bias:
+            b_ih = self.param("b_ih", init, (3 * h_dim,))
+            b_hh = self.param("b_hh", init, (3 * h_dim,))
+        else:
+            b_ih = b_hh = 0.0
 
         x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih
         x_proj = jnp.swapaxes(x_proj, 0, 1)
@@ -119,6 +128,7 @@ class VanillaRNNLayer(nn.Module):
 
     hidden_size: int
     reverse: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +137,7 @@ class VanillaRNNLayer(nn.Module):
         init = _uniform_init(h_dim)
         w_ih = self.param("w_ih", init, (in_dim, h_dim))
         w_hh = self.param("w_hh", init, (h_dim, h_dim))
-        b = self.param("b", init, (h_dim,))
+        b = self.param("b", init, (h_dim,)) if self.use_bias else 0.0
 
         x_proj = jnp.swapaxes(jnp.einsum("btd,dh->bth", x, w_ih) + b, 0, 1)
         h0 = jnp.zeros((batch, h_dim), x.dtype)
@@ -152,17 +162,18 @@ class RNNStack(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         layer_cls = {"lstm": LSTMLayer, "gru": GRULayer, "rnn": VanillaRNNLayer}[self.rnn_type]
         out = x
         for layer in range(self.num_layers):
-            fwd = layer_cls(self.hidden_size, name=f"l{layer}_fwd")(out)
+            fwd = layer_cls(self.hidden_size, use_bias=self.use_bias, name=f"l{layer}_fwd")(out)
             if isinstance(fwd, tuple):
                 fwd = fwd[0]
             if self.bidirectional:
-                bwd = layer_cls(self.hidden_size, reverse=True, name=f"l{layer}_bwd")(out)
+                bwd = layer_cls(self.hidden_size, reverse=True, use_bias=self.use_bias, name=f"l{layer}_bwd")(out)
                 if isinstance(bwd, tuple):
                     bwd = bwd[0]
                 out = jnp.concatenate([fwd, bwd], axis=-1)
