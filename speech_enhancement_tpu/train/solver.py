@@ -148,6 +148,9 @@ class Solver:
         self._rng, init_rng = jax.random.split(self._rng)
         variables = self.model.init({"params": init_rng, "dropout": init_rng}, inputs)
         params = variables.get("params", {})
+        if hasattr(self.model, "post_init_params"):
+            # model-specific init transform (e.g. Demucs weight rescale)
+            params = self.model.post_init_params(params)
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.optimizer.init(params)
         return {
