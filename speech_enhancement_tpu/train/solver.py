@@ -269,9 +269,14 @@ class Solver:
         save_interval = int(cfg.get("save_checkpoint_interval", 1))
         metric_name = str(cfg.validation.get("metric", "loss"))
 
+        profile = bool(cfg.get("profile", False))
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
+            if profile and epoch == self.start_epoch:
+                self.start_profiler()
             train_loss = self._run_one_epoch(epoch, train=True)
+            if profile and epoch == self.start_epoch:
+                self.stop_profiler()
             self.scores["train_loss"].append(train_loss)
             if self.writer:
                 self.writer.add_scalar("train/epoch_loss", train_loss, epoch)
@@ -363,6 +368,10 @@ class Solver:
                 sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
                 stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
             )
+            if step < int(cfg.get("num_show", 0)):
+                self.spec_audio_visualization(
+                    mixture_np[0], enhanced_np[0], clean[0], item["name"], step
+                )
             if save:
                 from speech_enhancement_tpu.data.wav_io import write_wav
 
@@ -379,6 +388,54 @@ class Solver:
                     self.writer.add_scalar(f"test/{side}_{k}", v, 0)
         save_json(summary, os.path.join(self.run_dir, "test_summary.json"))
         return summary
+
+    # ---------------------------------------------------------- observability
+    def spec_audio_visualization(
+        self, mixture: np.ndarray, enhanced: np.ndarray, clean: np.ndarray,
+        name: str, step: int,
+    ) -> None:
+        """3-row waveform + magma spectrogram panels to TensorBoard
+        (reference: solver.py:643-702). No-op without a writer/matplotlib."""
+        if self.writer is None:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        sr = int(self.config.dset.sample_rate)
+        rows = [("mixture", mixture), ("enhanced", enhanced), ("clean", clean)]
+
+        fig_w, axes_w = plt.subplots(3, 1, figsize=(8, 6), constrained_layout=True)
+        for ax, (label, wav) in zip(axes_w, rows):
+            flat = np.asarray(wav).reshape(-1)
+            ax.plot(np.arange(len(flat)) / sr, flat, linewidth=0.4)
+            ax.set_title(f"{label}  mean={flat.mean():.3f} max={np.abs(flat).max():.3f}")
+        self.writer.add_figure(f"waveform/{name}", fig_w, step)
+        plt.close(fig_w)
+
+        from speech_enhancement_tpu.ops.stft import stft
+
+        fig_s, axes_s = plt.subplots(3, 1, figsize=(8, 6), constrained_layout=True)
+        for ax, (label, wav) in zip(axes_s, rows):
+            flat = jnp.asarray(np.asarray(wav).reshape(-1))
+            mag = np.abs(np.asarray(stft(flat[None], 512, 128, 512)))[0]
+            ax.imshow(20 * np.log10(mag + 1e-8), origin="lower", aspect="auto",
+                      cmap="magma")
+            ax.set_title(label)
+        self.writer.add_figure(f"spectrogram/{name}", fig_s, step)
+        plt.close(fig_s)
+
+    def start_profiler(self) -> None:
+        """jax.profiler trace into the run's log dir (config
+        ``solver.profile: true``); the reference's torch profiler is
+        scaffolded but commented out (solver.py:60, 209-212)."""
+        jax.profiler.start_trace(self.log_dir)
+
+    def stop_profiler(self) -> None:
+        jax.profiler.stop_trace()
 
     # ------------------------------------------------------------ checkpoints
     def _resume_checkpoint(self, run_dir: str) -> None:

@@ -85,6 +85,43 @@ def find_folder(name: str, root: str) -> List[str]:
     return hits
 
 
+def get_filtered_snr_file(
+    dset_name: str,
+    path: str,
+    snr_range: Tuple[float, float] = (0.0, 5.0),
+) -> List[str]:
+    """Filter utterances/scenes by SNR range [min, max).
+
+    Reference: ``get_filtered_snr_file`` (src/utils.py:17-50). For
+    VoiceBank-DEMAND, ``path`` is the logfiles dir ("name type SNR" lines in
+    ``*trainset*`` text files); for Clarity, ``path`` is the
+    scenes.train.snr.json file ({scene: snr}).
+    """
+    import glob
+    import json
+
+    snr_min, snr_max = snr_range
+    filtered: List[str] = []
+    if dset_name == "VoiceBankDEMAND":
+        for text_file in glob.glob(os.path.join(path, "*trainset*")):
+            with open(text_file) as handle:
+                for line in handle.read().split("\n"):
+                    parts = line.split(" ")
+                    if len(parts) == 3:
+                        name, _, snr = parts
+                        if snr_min <= int(snr) < snr_max:
+                            filtered.append(name)
+    elif dset_name == "Clarity":
+        with open(path) as handle:
+            metadata = json.load(handle)
+        for scene, snr in metadata.items():
+            if snr_min <= float(snr) < snr_max:
+                filtered.append(scene)
+    else:
+        raise ValueError(f"unknown dataset {dset_name!r}")
+    return filtered
+
+
 def human_bytes(num: float) -> str:
     for unit in ("B", "KB", "MB", "GB", "TB"):
         if abs(num) < 1024.0:
