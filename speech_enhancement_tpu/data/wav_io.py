@@ -18,7 +18,16 @@ from scipy.io import wavfile
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 [C, T], sample_rate)."""
+    """Read a WAV file -> (float32 [C, T], sample_rate).
+
+    Uses the native C decoder (native/wavio.cpp) when built — the loader's
+    hot path — falling back to scipy. Set SE_TPU_NO_NATIVE=1 to disable.
+    """
+    if not os.environ.get("SE_TPU_NO_NATIVE"):
+        from speech_enhancement_tpu.data import native
+
+        if native.available():
+            return native.read_wav(path)
     try:
         sr, data = wavfile.read(path)
     except ValueError:
