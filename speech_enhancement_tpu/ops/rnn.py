@@ -199,10 +199,16 @@ class ComplexLSTM(nn.Module):
     def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray):
         lstm_r = LSTMLayer(self.hidden_size, name="real_lstm")
         lstm_i = LSTMLayer(self.hidden_size, name="imag_lstm")
-        rr, _ = lstm_r(xr)
-        ii, _ = lstm_i(xi)
-        ri, _ = lstm_r(xi)
-        ir, _ = lstm_i(xr)
+        # The reference runs 4 LSTM passes (r2r/r2i/i2r/i2i). Each per-step
+        # recurrent matmul is tiny, so scan overhead dominates on TPU: stack
+        # (xr, xi) on the batch axis and run each LSTM once -> 2 scans with
+        # doubled per-step matmuls (better MXU utilization, same math).
+        batch = xr.shape[0]
+        stacked = jnp.concatenate([xr, xi], axis=0)
+        r_both, _ = lstm_r(stacked)  # [Lr(xr); Lr(xi)]
+        i_both, _ = lstm_i(stacked)  # [Li(xr); Li(xi)]
+        rr, ri = r_both[:batch], r_both[batch:]
+        ir, ii = i_both[:batch], i_both[batch:]
         out_r = rr - ii
         out_i = ri + ir
         if self.projection_dim is not None:

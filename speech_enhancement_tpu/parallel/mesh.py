@@ -20,7 +20,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -53,6 +53,6 @@ def shard_train_step(step_fn, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -1,0 +1,87 @@
+"""SPMD data-parallel tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.config import Config, with_defaults
+from speech_enhancement_tpu.data.synthetic import make_voicebank_demand
+from speech_enhancement_tpu.main import main
+from speech_enhancement_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(data=8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(data=8)
+    batch = {"mixture": np.zeros((16, 1, 100), np.float32)}
+    sharded = shard_batch(mesh, batch)
+    sharding = sharded["mixture"].sharding
+    assert sharding.shard_shape((16, 1, 100)) == (2, 1, 100)
+
+
+@pytest.fixture(scope="module")
+def vbd_root(tmp_path_factory):
+    return make_voicebank_demand(
+        str(tmp_path_factory.mktemp("vbd")), n_utterances=8, min_seconds=1.1,
+        max_seconds=1.4,
+    )
+
+
+def _config(vbd_root, run_root, data_parallel):
+    return with_defaults(Config({
+        "seed": 3,
+        "optim": {"optim": "adam", "lr": 1e-3, "loss": "mse", "clip_grad": 5},
+        "model": {
+            "name": "dnn", "audio_channels": 1, "num_spk": 1, "segment": 1,
+            "sample_rate": 16000, "n_fft": 256, "hop_length": 128,
+            "win_length": 256, "n_layers": 2, "hidden_layer": 32,
+            "drop_out": 0.0, "dnn_method": "mask", "dnn_ema": False,
+        },
+        "dset": {
+            "name": "VoiceBankDEMAND", "wav": vbd_root, "split": [0.6, 0.2, 0.2],
+            "segment": 1, "audio_channels": 1, "sample_rate": 16000,
+            "norm": "z-score",
+        },
+        "solver": {
+            "root": run_root, "epochs": 1, "batch_size": 8, "all_steps": False,
+            "total_steps": 2, "save_checkpoint_interval": 1,
+            "validation": {"total_steps": 1, "interval": 1, "metric": "loss"},
+            "test": {"total_steps": 1, "interval": 1, "num_show": 0, "metric": "sisdr"},
+        },
+        "parallel": {"data": data_parallel, "model": 1},
+    }))
+
+
+def test_data_parallel_training_runs(vbd_root, tmp_path):
+    cfg = _config(vbd_root, str(tmp_path), data_parallel=8)
+    solver = main(cfg, mode="train", return_solver=True)
+    assert np.isfinite(solver.scores["train_loss"][0])
+    # params stayed replica-consistent: fully-replicated arrays are addressable
+    leaf = jax.tree_util.tree_leaves(solver.state["params"])[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_data_parallel_matches_single_device_loss(vbd_root, tmp_path):
+    # identical data order (same seed), pmean over 8 shards == global mean
+    cfg_dp = _config(vbd_root, str(tmp_path / "dp"), data_parallel=8)
+    cfg_sd = _config(vbd_root, str(tmp_path / "sd"), data_parallel=1)
+    s_dp = main(cfg_dp, mode="train", return_solver=True)
+    s_sd = main(cfg_sd, mode="train", return_solver=True)
+    # mse decomposes exactly over equal shards; dropout disabled
+    assert s_dp.scores["train_loss"][0] == pytest.approx(
+        s_sd.scores["train_loss"][0], rel=1e-4
+    )
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
