@@ -34,7 +34,8 @@ def main():
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    model = DCCRN()
+    # bf16 compute (f32 params + accumulations) — the TPU-native fast path
+    model = DCCRN(dtype="bfloat16")
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
 
     t_samples = SECONDS * SR

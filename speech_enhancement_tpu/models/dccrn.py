@@ -97,13 +97,16 @@ class _ComplexConvBlock(nn.Module):
 
     features: int  # per complex part
     kernel_size: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
         pad = ((2, 2), (1, 0))  # freq symmetric, time causal (dccrn.py:358-361)
-        conv_r = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad, name="conv_r")
-        conv_i = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad, name="conv_i")
+        conv_r = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad,
+                         dtype=self.dtype, name="conv_r")
+        conv_i = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad,
+                         dtype=self.dtype, name="conv_i")
         yr = conv_r(xr) - conv_i(xi)
         yi = conv_r(xi) + conv_i(xr)
         yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
@@ -115,6 +118,7 @@ class _ComplexDeconvBlock(nn.Module):
     features: int
     kernel_size: int = 5
     last: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -122,10 +126,12 @@ class _ComplexDeconvBlock(nn.Module):
         # torch: stride (2,1), padding (2,0), output_padding (1,0) in freq;
         # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
         conv_r = nn.ConvTranspose(
-            self.features, (self.kernel_size, 2), (2, 1), padding="VALID", name="conv_r"
+            self.features, (self.kernel_size, 2), (2, 1), padding="VALID",
+            dtype=self.dtype, name="conv_r"
         )
         conv_i = nn.ConvTranspose(
-            self.features, (self.kernel_size, 2), (2, 1), padding="VALID", name="conv_i"
+            self.features, (self.kernel_size, 2), (2, 1), padding="VALID",
+            dtype=self.dtype, name="conv_i"
         )
 
         def fix(y):
@@ -156,6 +162,9 @@ class DCCRN(nn.Module):
     use_cbn: bool = True
     kernel_size: int = 5
     kernel_num: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
+    # compute dtype for convs + LSTM ("bfloat16" keeps the MXU in bf16 with
+    # f32 accumulation — the TPU-native fast path; params stay float32)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -175,10 +184,11 @@ class DCCRN(nn.Module):
         xr = real[:, 1:, :, None]
         xi = imag[:, 1:, :, None]
 
+        compute_dtype = jnp.dtype(self.dtype)
         skips = []
         for idx, features in enumerate(self.kernel_num):
             xr, xi = _ComplexConvBlock(
-                features // 2, self.kernel_size, name=f"enc_{idx}"
+                features // 2, self.kernel_size, dtype=compute_dtype, name=f"enc_{idx}"
             )((xr, xi), train)
             skips.append((xr, xi))
 
@@ -191,6 +201,7 @@ class DCCRN(nn.Module):
                 r_in, i_in = ComplexLSTM(
                     hidden_size=self.rnn_units // 2,
                     projection_dim=channels * dims if last else None,
+                    dtype=compute_dtype,
                     name=f"clstm_{idx}",
                 )(r_in, i_in)
             xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
@@ -214,9 +225,12 @@ class DCCRN(nn.Module):
             xi = jnp.concatenate([xi, skip_i], axis=-1)
             xr, xi = _ComplexDeconvBlock(
                 features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
-                name=f"dec_{idx}",
+                dtype=compute_dtype, name=f"dec_{idx}",
             )((xr, xi), train)
 
+        # mask head and synthesis in float32 regardless of compute dtype
+        xr = xr.astype(jnp.float32)
+        xi = xi.astype(jnp.float32)
         mask_real = jnp.pad(xr[..., 0], ((0, 0), (1, 0), (0, 0)))  # DC bin back
         mask_imag = jnp.pad(xi[..., 0], ((0, 0), (1, 0), (0, 0)))
 

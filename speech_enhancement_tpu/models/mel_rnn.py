@@ -68,7 +68,7 @@ class MelRNN(nn.Module):
                     n_freqs, self.n_mels, self.sample_rate, self.f_min, self.f_max
                 )
             )
-            x = jnp.einsum("bmt,mf->bft", x, inv)
+            x = jnp.maximum(jnp.einsum("bmt,mf->bft", x, inv), 0.0)
 
         mask = x[:, None, :, :, None]  # [B, 1, F, T, 1]
         return inputs * mask

@@ -52,7 +52,11 @@ def inverse_mel_filterbank(
     f_min: float = 0.0,
     f_max: float | None = None,
 ) -> np.ndarray:
-    """Least-squares inverse [n_mels, n_freqs], clamped non-negative."""
+    """Least-squares inverse [n_mels, n_freqs].
+
+    ``mel @ inverse`` projects back onto the filterbank's column space;
+    callers clamp the *reconstructed spectrum* at >= 0 (clamping the matrix
+    itself destroys the least-squares solution).
+    """
     fb = mel_filterbank(n_freqs, n_mels, sample_rate, f_min, f_max)
-    pinv = np.linalg.pinv(fb.astype(np.float64)).astype(np.float32)  # [n_mels, F]... pinv of [F,M] -> [M,F]
-    return np.maximum(pinv, 0.0)
+    return np.linalg.pinv(fb.astype(np.float64)).astype(np.float32)  # [M, F]

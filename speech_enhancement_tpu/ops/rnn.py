@@ -18,7 +18,7 @@ All modules take and return batch-major [B, T, D] tensors.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,6 +40,8 @@ class LSTMLayer(nn.Module):
     hidden_size: int
     reverse: bool = False
     use_bias: bool = True
+    unroll: int = 1  # lax.scan unroll factor (amortizes loop overhead on TPU)
+    dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
 
     @nn.compact
     def __call__(
@@ -59,8 +61,16 @@ class LSTMLayer(nn.Module):
         else:
             bias = 0.0
 
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+        w_ih = w_ih.astype(compute_dtype)
+        w_hh = w_hh.astype(compute_dtype)
+        if self.use_bias:
+            bias = bias.astype(compute_dtype)
         # Hoist the input projection: one big MXU matmul for the whole sequence.
-        x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + bias
+        x_proj = jnp.einsum(
+            "btd,dh->bth", x, w_ih, preferred_element_type=jnp.float32
+        ).astype(compute_dtype) + bias
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major for scan
 
         if init_state is None:
@@ -81,7 +91,9 @@ class LSTMLayer(nn.Module):
             h_new = o * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
-        (h_last, c_last), out = jax.lax.scan(step, (h0, c0), x_proj, reverse=self.reverse)
+        (h_last, c_last), out = jax.lax.scan(
+            step, (h0, c0), x_proj, reverse=self.reverse, unroll=self.unroll
+        )
         return jnp.swapaxes(out, 0, 1), (h_last, c_last)
 
 
@@ -194,11 +206,15 @@ class ComplexLSTM(nn.Module):
 
     hidden_size: int
     projection_dim: Optional[int] = None
+    unroll: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray):
-        lstm_r = LSTMLayer(self.hidden_size, name="real_lstm")
-        lstm_i = LSTMLayer(self.hidden_size, name="imag_lstm")
+        lstm_r = LSTMLayer(self.hidden_size, unroll=self.unroll, dtype=self.dtype,
+                           name="real_lstm")
+        lstm_i = LSTMLayer(self.hidden_size, unroll=self.unroll, dtype=self.dtype,
+                           name="imag_lstm")
         # The reference runs 4 LSTM passes (r2r/r2i/i2r/i2i). Each per-step
         # recurrent matmul is tiny, so scan overhead dominates on TPU: stack
         # (xr, xi) on the batch axis and run each LSTM once -> 2 scans with
@@ -214,6 +230,6 @@ class ComplexLSTM(nn.Module):
         if self.projection_dim is not None:
             # Independent real projections per part (dccrn.py:295-297), not a
             # complex multiply.
-            out_r = nn.Dense(self.projection_dim, name="proj_r")(out_r)
-            out_i = nn.Dense(self.projection_dim, name="proj_i")(out_i)
+            out_r = nn.Dense(self.projection_dim, dtype=self.dtype, name="proj_r")(out_r)
+            out_i = nn.Dense(self.projection_dim, dtype=self.dtype, name="proj_i")(out_i)
         return out_r, out_i

@@ -389,6 +389,39 @@ class Solver:
         save_json(summary, os.path.join(self.run_dir, "test_summary.json"))
         return summary
 
+    def compute_metric_clarity(self, mixture: np.ndarray, enhanced: np.ndarray,
+                               name: str, listener: Optional[dict] = None):
+        """Clarity hearing-aid scoring hook (reference: solver.py:723-746).
+
+        Resamples both signals to the HA chain's rate (44.1 kHz) and applies
+        the NAL-R + compressor chain. HASPI/HASQI themselves require the
+        external `clarity` package — gated exactly like the reference gates
+        `evaluate_clarity` (solver.py:82-89); returns the amplified signals
+        plus scores (None when the package is absent).
+        """
+        from speech_enhancement_tpu.ha import NALR, Compressor, amplify
+        from speech_enhancement_tpu.ops.resample import resample_frac
+
+        ha_fs = 44100
+        sr = int(self.config.dset.sample_rate)
+        enhanced_rs = resample_frac(jnp.asarray(enhanced), sr, ha_fs)
+        mixture_rs = resample_frac(jnp.asarray(mixture), sr, ha_fs)
+
+        scores = {"haspi": None, "hasqi": None}
+        if listener is not None:
+            enhancer = NALR(nfir=220, fs=ha_fs)
+            compressor = Compressor(fs=ha_fs)
+            enhanced_rs = amplify(enhanced_rs[None, None], enhancer, compressor,
+                                  listener)[0, 0]
+            try:  # optional external clarity package (same gate as reference)
+                from clarity.evaluator.haspi import haspi_v2_be  # type: ignore
+
+                scores["haspi"] = float(haspi_v2_be(
+                    np.asarray(mixture_rs), np.asarray(enhanced_rs), ha_fs))
+            except ImportError:
+                pass
+        return np.asarray(enhanced_rs), np.asarray(mixture_rs), scores
+
     # ---------------------------------------------------------- observability
     def spec_audio_visualization(
         self, mixture: np.ndarray, enhanced: np.ndarray, clean: np.ndarray,
