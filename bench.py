@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# Persistent compile cache: the axon remote compiler takes minutes on the
+# DCCRN program; cache hits make reruns (and the driver's run) fast.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 BATCH = 16
 SECONDS = 4
 SR = 16000

@@ -220,6 +220,31 @@ def get_train_wav_dataset(dset_config, model_config, seed: int = 0):
     raise ValueError(f"unknown dataset {dset_config.name!r}")
 
 
+def get_dev_wav_clarity(dset_config, seed: int = 0):
+    """Clarity dev-set dataset (reference: distrib.py:185-200 get_dev_wav_clarity)."""
+    import json
+    import os
+
+    root = dset_config.wav
+    meta = os.path.join(root, "custom_metadata", "scenes.dev.json")
+    if not os.path.exists(meta):
+        meta = os.path.join(root, "custom_metadata", "scenes.train.json")
+    with open(meta) as handle:
+        scenes = json.load(handle)
+    return ClarityWavDataset(
+        path_dataset=root,
+        scenes=scenes,
+        sample_length=None,
+        normalize=dset_config.norm,
+        sample_rate=dset_config.sample_rate,
+        audio_channels=dset_config.audio_channels,
+        train=False,
+        dev_clarity=True,
+        type_dataset=dset_config.get("mode", "se"),
+        seed=seed,
+    )
+
+
 def get_dataloader(dataset, config, train: bool = True, seed: int = 0):
     """Loader factory (reference: distrib.py:212-224)."""
     if not train:

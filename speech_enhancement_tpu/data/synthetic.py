@@ -61,8 +61,10 @@ def make_clarity(
     """Create a miniature Clarity train tree with CH0..CH3 + metadata JSON."""
     rng = np.random.default_rng(seed)
     scene_dir = os.path.join(root, "train", "scenes")
+    dev_dir = os.path.join(root, "dev", "scenes")
     meta_dir = os.path.join(root, "custom_metadata")
     os.makedirs(scene_dir, exist_ok=True)
+    os.makedirs(dev_dir, exist_ok=True)
     os.makedirs(meta_dir, exist_ok=True)
     scenes = [f"S{i:05d}" for i in range(1, n_scenes + 1)]
     n = int(sr * seconds)
@@ -85,7 +87,15 @@ def make_clarity(
                 os.path.join(scene_dir, f"{scene}_mix_{ch}.wav"), target + interferer, sr
             )
         times[scene] = [0, n]
+        # dev split mirrors CH1 files only (the eval path, dataset.py:280-292)
+        for kind in ("target", "target_anechoic", "interferer", "mix"):
+            src = os.path.join(scene_dir, f"{scene}_{kind}_CH1.wav")
+            dst = os.path.join(dev_dir, f"{scene}_{kind}_CH1.wav")
+            with open(src, "rb") as fin, open(dst, "wb") as fout:
+                fout.write(fin.read())
     with open(os.path.join(meta_dir, "scenes.train.json"), "w") as handle:
+        json.dump(scenes, handle)
+    with open(os.path.join(meta_dir, "scenes.dev.json"), "w") as handle:
         json.dump(scenes, handle)
     with open(os.path.join(meta_dir, "scenes.train.time.json"), "w") as handle:
         json.dump(times, handle)

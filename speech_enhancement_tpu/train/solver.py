@@ -251,13 +251,21 @@ class Solver:
                 self.state, loss, grad_norm = self._train_step(
                     self.state, rng, mixture, sources
                 )
+                loss_value = float(loss)
+                if not np.isfinite(loss_value):
+                    # failure detection: the reference only scaffolds
+                    # detect_anomaly (solver.py:460); here a non-finite loss
+                    # aborts the epoch with a clear message.
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_value} at epoch {epoch} step {step}"
+                    )
                 if self.writer:
                     gstep = epoch * 100000 + step
-                    self.writer.add_scalar("train/step_loss", float(loss), gstep)
+                    self.writer.add_scalar("train/step_loss", loss_value, gstep)
                     self.writer.add_scalar("train/grad_norm", float(grad_norm), gstep)
             else:
-                loss = self._val_step(self.state, mixture, sources)
-            total += float(loss)
+                loss_value = float(self._val_step(self.state, mixture, sources))
+            total += loss_value
             count += 1
         return total / max(count, 1)
 
