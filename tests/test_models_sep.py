@@ -18,7 +18,7 @@ def _forward(cfg_dict, x):
 
 
 def test_dcunet_depth10(rng):
-    f, t = 257, 65
+    f, t = 257, 33
     x = jnp.asarray(rng.standard_normal((1, 1, f, t, 2)).astype(np.float32) * 0.1)
     cfg = {"name": "dcunet", "audio_channels": 1, "model_depth": 10,
            "model_complexity": 12, "data_type": True}
@@ -29,7 +29,7 @@ def test_dcunet_depth10(rng):
 
 
 def test_dcunet_depth20(rng):
-    f, t = 257, 65
+    f, t = 257, 33
     x = jnp.asarray(rng.standard_normal((1, 1, f, t, 2)).astype(np.float32) * 0.1)
     cfg = {"name": "dcunet", "audio_channels": 1, "model_depth": 20,
            "model_complexity": 10, "data_type": True}
@@ -38,7 +38,7 @@ def test_dcunet_depth20(rng):
 
 
 def test_dcunet_real_mode(rng):
-    f, t = 257, 65
+    f, t = 257, 33
     x = jnp.asarray(rng.standard_normal((1, 1, f, t, 2)).astype(np.float32))
     cfg = {"name": "dcunet", "audio_channels": 1, "model_depth": 10,
            "model_complexity": 12, "data_type": False}
@@ -47,11 +47,11 @@ def test_dcunet_real_mode(rng):
 
 
 def test_conv_tasnet(rng):
-    x = jnp.asarray(rng.standard_normal((2, 2, 8000)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, 2, 4000)).astype(np.float32) * 0.1)
     cfg = {"name": "conv-tasnet", "sources": [None, None], "audio_channels": 2,
            "N": 32, "L": 40, "B": 32, "H": 64, "X": 4, "R": 1}
     model, spec, variables, out = _forward(cfg, x)
-    assert out.shape == (2, 2, 2, 8000)  # [B, S, C, T]
+    assert out.shape == (2, 2, 2, 4000)  # [B, S, C, T]
     assert spec.multi_speaker
 
 
@@ -65,11 +65,11 @@ def test_conv_tasnet_skip_softmax(rng):
 
 
 def test_demucs(rng):
-    x = jnp.asarray(rng.standard_normal((1, 2, 8000)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((1, 2, 4000)).astype(np.float32) * 0.1)
     cfg = {"name": "demucs", "sources": [None, None], "audio_channels": 2,
            "channels": 8, "depth": 4, "dconv_attn": 2, "dconv_lstm": 3}
     model, spec, variables, out = _forward(cfg, x)
-    assert out.shape == (1, 2, 2, 8000)
+    assert out.shape == (1, 2, 2, 4000)
     assert np.all(np.isfinite(np.asarray(out)))
     # rescale init hook exists and preserves structure
     rescaled = model.post_init_params(variables["params"])
@@ -86,12 +86,12 @@ def test_demucs_valid_length():
 
 
 def test_sepformer(rng):
-    x = jnp.asarray(rng.standard_normal((1, 1, 4000)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
     cfg = {"name": "sepformer", "encoder_out_nchannels": 32, "masknet_chunksize": 50,
            "masknet_numlayers": 1, "intra_numlayers": 1, "inter_numlayers": 1,
            "intra_nhead": 4, "inter_nhead": 4, "intra_dffn": 64, "inter_dffn": 64}
     model, spec, variables, out = _forward(cfg, x)
-    assert out.shape == (1, 2, 1, 4000)
+    assert out.shape == (1, 2, 1, 2000)
     assert spec.multi_speaker
 
 
