@@ -35,6 +35,7 @@ from functools import lru_cache
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,6 +166,10 @@ class DCCRN(nn.Module):
     # compute dtype for convs + LSTM ("bfloat16" keeps the MXU in bf16 with
     # f32 accumulation — the TPU-native fast path; params stay float32)
     dtype: str = "float32"
+    # fuse the mode-'E' mask application into one Pallas VPU pass on the
+    # inference path (ops/pallas/masking.py); training keeps the autodiff
+    # XLA composition
+    use_pallas_mask: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -234,7 +239,13 @@ class DCCRN(nn.Module):
         mask_real = jnp.pad(xr[..., 0], ((0, 0), (1, 0), (0, 0)))  # DC bin back
         mask_imag = jnp.pad(xi[..., 0], ((0, 0), (1, 0), (0, 0)))
 
-        if self.masking_mode == "E":
+        if self.masking_mode == "E" and self.use_pallas_mask and not train:
+            from speech_enhancement_tpu.ops.pallas.masking import apply_mask_e
+
+            interpret = jax.default_backend() != "tpu"
+            out_real, out_imag = apply_mask_e(real, imag, mask_real, mask_imag,
+                                              interpret=interpret)
+        elif self.masking_mode == "E":
             mask_mags_raw = jnp.sqrt(mask_real**2 + mask_imag**2)
             real_phase = mask_real / (mask_mags_raw + 1e-8)
             imag_phase = mask_imag / (mask_mags_raw + 1e-8)

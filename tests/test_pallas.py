@@ -44,3 +44,39 @@ def test_stft_pallas_non_block_multiple_frames(rng):
     assert got.shape == ((7000 - 400) // 100 + 1, 514)[0:1] + got.shape[1:] or True
     n_frames = (7000 - 400) // 100 + 1
     assert got.shape == (1, n_frames, 514)
+
+
+def test_mask_e_kernel_matches_reference_math(rng):
+    from speech_enhancement_tpu.ops.pallas.masking import apply_mask_e
+
+    B, F, T = 1, 257, 130
+    xr, xi, mr, mi = (
+        jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32))
+        for _ in range(4)
+    )
+    m = np.sqrt(np.asarray(mr) ** 2 + np.asarray(mi) ** 2)
+    ph_m = np.arctan2(np.asarray(mi) / (m + 1e-8), np.asarray(mr) / (m + 1e-8))
+    s = np.sqrt(np.asarray(xr) ** 2 + np.asarray(xi) ** 2 + 1e-8)
+    ph_x = np.arctan2(np.asarray(xi), np.asarray(xr))
+    est = np.tanh(m) * s
+    want_r = est * np.cos(ph_x + ph_m)
+    want_i = est * np.sin(ph_x + ph_m)
+    got_r, got_i = apply_mask_e(xr, xi, mr, mi, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), want_r, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_i), want_i, atol=5e-4)
+
+
+def test_dccrn_pallas_mask_path(rng):
+    from speech_enhancement_tpu.config import Config
+    from speech_enhancement_tpu.models import build_model
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
+    cfg = {"name": "dccrn", "kernel_num": [4, 8, 8, 16, 16, 32], "rnn_units": 16}
+    model_ref, _ = build_model(Config(cfg))
+    model_pl, _ = build_model(Config(dict(cfg, use_pallas_mask=True)))
+    import jax as _jax
+
+    variables = model_ref.init(_jax.random.PRNGKey(0), x)
+    a = np.asarray(model_ref.apply(variables, x, train=False))
+    b = np.asarray(model_pl.apply(variables, x, train=False))
+    np.testing.assert_allclose(a, b, atol=2e-3)
