@@ -93,6 +93,20 @@ class _PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+def _block_complex_kernel(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """[kh, kw, Cin, Cout] pair -> [kh, kw, 2Cin, 2Cout] block-matrix kernel.
+
+    One real conv over channel-stacked (r, i) inputs computes the complex
+    conv exactly: out_r = Wr*xr - Wi*xi, out_i = Wi*xr + Wr*xi. Same FLOPs
+    as the 4-conv formulation, but 1 conv with 2x wider channels — better
+    MXU/lane utilization on the small early layers, and the (rr - ii)
+    combination fuses into the conv itself.
+    """
+    top = jnp.concatenate([wr, wi], axis=3)   # contributions from xr
+    bot = jnp.concatenate([-wi, wr], axis=3)  # contributions from xi
+    return jnp.concatenate([top, bot], axis=2)
+
+
 class _ComplexConvBlock(nn.Module):
     """ComplexConv2d(k=(5,2), s=(2,1), causal) + complex BN + PReLU."""
 
@@ -103,13 +117,25 @@ class _ComplexConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
+        in_ch = xr.shape[-1]
+        kshape = (self.kernel_size, 2, in_ch, self.features)
+        init = nn.initializers.lecun_normal()
+        wr = self.param("wr", init, kshape)
+        wi = self.param("wi", init, kshape)
+        br = self.param("br", nn.initializers.zeros, (self.features,))
+        bi = self.param("bi", nn.initializers.zeros, (self.features,))
+        kernel = _block_complex_kernel(wr, wi)
+        x2 = jnp.concatenate([xr, xi], axis=-1)
+        if self.dtype is not None:
+            x2 = x2.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         pad = ((2, 2), (1, 0))  # freq symmetric, time causal (dccrn.py:358-361)
-        conv_r = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad,
-                         dtype=self.dtype, name="conv_r")
-        conv_i = nn.Conv(self.features, (self.kernel_size, 2), (2, 1), pad,
-                         dtype=self.dtype, name="conv_i")
-        yr = conv_r(xr) - conv_i(xi)
-        yi = conv_r(xi) + conv_i(xr)
+        y2 = jax.lax.conv_general_dilated(
+            x2, kernel, (2, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        yr = y2[..., : self.features] + br.astype(y2.dtype)
+        yi = y2[..., self.features :] + bi.astype(y2.dtype)
         yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
         prelu = _PReLU(name="prelu")
         return prelu(yr), prelu(yi)
@@ -124,25 +150,29 @@ class _ComplexDeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
+        in_ch = xr.shape[-1]
+        kshape = (self.kernel_size, 2, in_ch, self.features)
+        init = nn.initializers.lecun_normal()
+        wr = self.param("wr", init, kshape)
+        wi = self.param("wi", init, kshape)
+        br = self.param("br", nn.initializers.zeros, (self.features,))
+        bi = self.param("bi", nn.initializers.zeros, (self.features,))
+        kernel = _block_complex_kernel(wr, wi)
+        x2 = jnp.concatenate([xr, xi], axis=-1)
+        if self.dtype is not None:
+            x2 = x2.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         # torch: stride (2,1), padding (2,0), output_padding (1,0) in freq;
         # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
-        conv_r = nn.ConvTranspose(
-            self.features, (self.kernel_size, 2), (2, 1), padding="VALID",
-            dtype=self.dtype, name="conv_r"
+        y2 = jax.lax.conv_transpose(
+            x2, kernel, (2, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        conv_i = nn.ConvTranspose(
-            self.features, (self.kernel_size, 2), (2, 1), padding="VALID",
-            dtype=self.dtype, name="conv_i"
-        )
-
-        def fix(y):
-            # VALID transpose gives (in-1)*2 + 5 freq rows; torch's
-            # padding=2 / output_padding=1 crops 2 left and (2 - 1) right.
-            y = y[:, 2:-1, :, :]
-            return y[:, :, 1:, :]  # time chomp (drop first step)
-
-        yr = fix(conv_r(xr) - conv_i(xi))
-        yi = fix(conv_r(xi) + conv_i(xr))
+        # VALID transpose gives (in-1)*2 + 5 freq rows; torch's padding=2 /
+        # output_padding=1 crops 2 left and (2 - 1) right.
+        y2 = y2[:, 2:-1, 1:, :]
+        yr = y2[..., : self.features] + br.astype(y2.dtype)
+        yi = y2[..., self.features :] + bi.astype(y2.dtype)
         if self.last:
             return yr, yi
         yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
