@@ -164,6 +164,77 @@ class ComplexBatchNorm(nn.Module):
         return zr.astype(xr.dtype), zi.astype(xi.dtype)
 
 
+class ComplexBatchNormStacked(nn.Module):
+    """ComplexBatchNorm over a channel-stacked [..., 2C] array ([r..., i...]).
+
+    Same math as :class:`ComplexBatchNorm` (full 2x2 covariance whitening,
+    dccrn.py:457-634) but evaluated as ONE elementwise stream over the
+    stacked tensor: the (r, i) cross terms come from a lane rotation
+    (``jnp.roll`` by C on the channel axis), halving the number of HBM
+    passes vs the paired formulation. Measured on TPU v5e this LOSES to the
+    paired version inside DCCRN (183 ms vs 118 ms per train step): the lane
+    rotations are cross-lane shuffles that break XLA's elementwise fusion.
+    Kept as a tested alternative / documented negative result; DCCRN uses
+    :class:`ComplexBatchNorm`. Statistics accumulate in float32.
+    """
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y2: jnp.ndarray, use_running_average: bool = False) -> jnp.ndarray:
+        channels = y2.shape[-1] // 2
+        reduce_axes = tuple(range(y2.ndim - 1))
+
+        gamma_rr = self.param("gamma_rr", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ii = self.param("gamma_ii", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ri = self.param("gamma_ri", nn.initializers.zeros, (channels,))
+        beta_r = self.param("beta_r", nn.initializers.zeros, (channels,))
+        beta_i = self.param("beta_i", nn.initializers.zeros, (channels,))
+
+        ra_mean = self.variable("batch_stats", "mean2", jnp.zeros, (2 * channels,))
+        ra_var = self.variable(
+            "batch_stats", "var2", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (2 * channels,)
+        )
+        ra_vri = self.variable("batch_stats", "vri", jnp.zeros, (channels,))
+
+        f = y2.astype(jnp.float32)
+        if use_running_average:
+            mean2, var2, vri = ra_mean.value, ra_var.value, ra_vri.value
+            centered = f - mean2
+            rolled = jnp.roll(centered, channels, axis=-1)
+        else:
+            mean2 = jnp.mean(f, axis=reduce_axes)
+            centered = f - mean2
+            rolled = jnp.roll(centered, channels, axis=-1)
+            var2 = jnp.mean(centered * centered, axis=reduce_axes)
+            vri = jnp.mean(centered * rolled, axis=reduce_axes)[:channels]
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean2
+                ra_var.value = m * ra_var.value + (1 - m) * var2
+                ra_vri.value = m * ra_vri.value + (1 - m) * vri
+
+        vrr = var2[:channels] + self.eps
+        vii = var2[channels:] + self.eps
+        det = vrr * vii - vri * vri
+        s = jnp.sqrt(jnp.maximum(det, 1e-12))
+        t = jnp.sqrt(vrr + vii + 2.0 * s)
+        inv_st = 1.0 / (s * t)
+        wrr = (vii + s) * inv_st
+        wii = (vrr + s) * inv_st
+        wri = -vri * inv_st
+
+        w_diag = jnp.concatenate([wrr, wii])
+        w_cross = jnp.concatenate([wri, wri])
+        whitened = centered * w_diag + rolled * w_cross
+        g_diag = jnp.concatenate([gamma_rr, gamma_ii])
+        g_cross = jnp.concatenate([gamma_ri, gamma_ri])
+        beta2 = jnp.concatenate([beta_r, beta_i])
+        out = whitened * g_diag + jnp.roll(whitened, channels, axis=-1) * g_cross + beta2
+        return out.astype(y2.dtype)
+
+
 class ComplexBatchNormSimple(nn.Module):
     """Independent real BatchNorms on each part (reference: dcunet.py:358-369)."""
 

@@ -86,3 +86,30 @@ def test_complex_batchnorm_simple(rng):
     variables = mod.init(jax.random.PRNGKey(5), (xr, xi))
     (or_, oi_), _ = mod.apply(variables, (xr, xi), mutable=["batch_stats"])
     assert abs(float(jnp.mean(or_))) < 1e-5
+
+
+def test_stacked_cbn_matches_pair_cbn(rng):
+    from speech_enhancement_tpu.ops.complex_ops import ComplexBatchNormStacked
+
+    xr = jnp.asarray(rng.standard_normal((64, 4, 4, 6)).astype(np.float32) * 2 + 1)
+    xi = jnp.asarray(rng.standard_normal((64, 4, 4, 6)).astype(np.float32) - 0.5)
+    pair = ComplexBatchNorm()
+    stacked = ComplexBatchNormStacked()
+    vp = pair.init(jax.random.PRNGKey(0), (xr, xi))
+    vs = stacked.init(jax.random.PRNGKey(0), jnp.concatenate([xr, xi], axis=-1))
+    # copy affine params so both use identical gammas/betas
+    vs = {"params": vp["params"], "batch_stats": vs["batch_stats"]}
+    (pr, pi), _ = pair.apply(vp, (xr, xi), mutable=["batch_stats"])
+    s_out, mutated = stacked.apply(
+        vs, jnp.concatenate([xr, xi], axis=-1), mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(s_out[..., :6]), np.asarray(pr), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_out[..., 6:]), np.asarray(pi), atol=2e-5)
+    # eval mode with updated running stats also matches
+    vp2 = {"params": vp["params"],
+           "batch_stats": pair.apply(vp, (xr, xi), mutable=["batch_stats"])[1]["batch_stats"]}
+    vs2 = {"params": vp["params"], "batch_stats": mutated["batch_stats"]}
+    pr2, pi2 = pair.apply(vp2, (xr, xi), use_running_average=True)
+    s2 = stacked.apply(vs2, jnp.concatenate([xr, xi], axis=-1), use_running_average=True)
+    np.testing.assert_allclose(np.asarray(s2[..., :6]), np.asarray(pr2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2[..., 6:]), np.asarray(pi2), atol=2e-5)
