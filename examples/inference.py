@@ -13,6 +13,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor SE_TPU_PLATFORM even where sitecustomize force-registers a TPU
+# plugin and overrides JAX_PLATFORMS (this image's axon relay)
+if os.environ.get("SE_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SE_TPU_PLATFORM"])
+
 
 def run():
     parser = argparse.ArgumentParser()

@@ -462,7 +462,9 @@ class Solver:
         fig_s, axes_s = plt.subplots(3, 1, figsize=(8, 6), constrained_layout=True)
         for ax, (label, wav) in zip(axes_s, rows):
             flat = jnp.asarray(np.asarray(wav).reshape(-1))
-            mag = np.abs(np.asarray(stft(flat[None], 512, 128, 512)))[0]
+            # abs on device: complex-array host transfer is unsupported on
+            # some backends (axon relay)
+            mag = np.asarray(jnp.abs(stft(flat[None], 512, 128, 512)))[0]
             ax.imshow(20 * np.log10(mag + 1e-8), origin="lower", aspect="auto",
                       cmap="magma")
             ax.set_title(label)

@@ -97,3 +97,20 @@ def test_reference_yaml_loads_unchanged():
     cfg = load_yaml(ref)
     assert cfg.model.n_fft == 512
     assert cfg.solver.test.metric == "sisdr"
+
+
+def test_reference_yaml_builds_model_and_optimizer():
+    # the reference's shipped config must drive our factories end-to-end
+    ref = "/root/reference/src/conf/config.yaml"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    from speech_enhancement_tpu.config import load_config
+    from speech_enhancement_tpu.models import build_model
+    from speech_enhancement_tpu.train.losses import get_loss_function
+    from speech_enhancement_tpu.train.solver import get_optimizer
+
+    cfg = load_config(ref)
+    model, spec = build_model(cfg.model)  # conv-tasnet
+    assert spec.multi_speaker
+    get_optimizer(cfg.optim)
+    get_loss_function(cfg.optim.loss)

@@ -101,3 +101,27 @@ def test_pit_discard_compat_flag(vbd_root, tmp_path):
     cfg.optim.pit_discard_compat = True
     solver = main(cfg, mode="train", return_solver=True)
     assert solver.scores["train_loss"]
+
+
+def test_examples_inference_script(vbd_root, tmp_path, monkeypatch):
+    # guard examples/inference.py against bitrot: run it on a trained run dir
+    import subprocess
+    import sys
+
+    cfg = _config(vbd_root, str(tmp_path))
+    solver = main(cfg, mode="train", return_solver=True)
+    wav_dir = os.path.join(vbd_root, "noisy_trainset_wav")
+    wav = os.path.join(wav_dir, sorted(os.listdir(wav_dir))[0])
+    clean = os.path.join(vbd_root, "clean_trainset_wav", os.path.basename(wav))
+    out = str(tmp_path / "enh.wav")
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "examples", "inference.py")
+    env = dict(os.environ, SE_TPU_PLATFORM="cpu")
+    result = subprocess.run(
+        [sys.executable, script, "--run-dir", solver.run_dir, "--wav", wav,
+         "--out", out, "--clean", clean],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "scores vs clean" in result.stdout
