@@ -49,6 +49,7 @@ class _DepthwiseSeparable(nn.Module):
     norm_type: str
     causal: bool
     skip: bool
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -57,13 +58,15 @@ class _DepthwiseSeparable(nn.Module):
         y = nn.Conv(
             self.hidden, (self.kernel,), padding=padding,
             kernel_dilation=(self.dilation,), feature_group_count=self.hidden,
-            use_bias=False, name="depthwise",
+            use_bias=False, dtype=self.dtype, name="depthwise",
         )(x)
         y = _PReLU(name="prelu")(y)
         y = _norm(self.norm_type, "norm")(y)
-        out = nn.Conv(self.bottleneck, (1,), use_bias=False, name="pointwise")(y)
+        out = nn.Conv(self.bottleneck, (1,), use_bias=False, dtype=self.dtype,
+                      name="pointwise")(y)
         if self.skip:
-            skip = nn.Conv(self.bottleneck, (1,), use_bias=False, name="skip_conv")(y)
+            skip = nn.Conv(self.bottleneck, (1,), use_bias=False, dtype=self.dtype,
+                           name="skip_conv")(y)
             return out, skip
         return out, None
 
@@ -76,15 +79,17 @@ class _TemporalBlock(nn.Module):
     norm_type: str
     causal: bool
     skip: bool
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        y = nn.Conv(self.hidden, (1,), use_bias=False, name="conv1x1")(x)
+        y = nn.Conv(self.hidden, (1,), use_bias=False, dtype=self.dtype,
+                    name="conv1x1")(x)
         y = _PReLU(name="prelu")(y)
         y = _norm(self.norm_type, "norm")(y)
         out, skip = _DepthwiseSeparable(
             self.hidden, self.bottleneck, self.kernel, self.dilation,
-            self.norm_type, self.causal, self.skip, name="dsconv",
+            self.norm_type, self.causal, self.skip, dtype=self.dtype, name="dsconv",
         )(y)
         return x + out, skip
 
@@ -105,6 +110,8 @@ class ConvTasNet(nn.Module):
     causal: bool = False
     mask_nonlinear: str = "relu"
     skip: bool = False
+    # compute dtype for convs ("bfloat16" = TPU fast path); params stay f32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, mixture: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -112,27 +119,30 @@ class ConvTasNet(nn.Module):
         n_spk = len(self.sources)
         t_origin = mixture.shape[-1]
 
+        compute_dtype = jnp.dtype(self.dtype)
         # ---- encoder (conv_tasnet.py:157-176): [B, K, N]
-        x = jnp.swapaxes(mixture, 1, 2)  # NWC
+        x = jnp.swapaxes(mixture, 1, 2).astype(compute_dtype)  # NWC
         mixture_w = nn.relu(
             nn.Conv(self.N, (self.L,), strides=(self.L // 2,), padding="VALID",
-                    use_bias=False, name="encoder")(x)
+                    use_bias=False, dtype=compute_dtype, name="encoder")(x)
         )
 
         # ---- separator (conv_tasnet.py:209-304)
         y = ChannelwiseLayerNorm(name="layer_norm")(mixture_w)
-        y = nn.Conv(self.B, (1,), use_bias=False, name="bottleneck")(y)
+        y = nn.Conv(self.B, (1,), use_bias=False, dtype=compute_dtype,
+                    name="bottleneck")(y)
         skip_sum: Optional[jnp.ndarray] = None
         for r in range(self.R):
             for xi in range(self.X):
                 y, skip = _TemporalBlock(
                     self.H, self.B, self.P, 2**xi, self.norm_type, self.causal,
-                    self.skip, name=f"block_{r}_{xi}",
+                    self.skip, dtype=compute_dtype, name=f"block_{r}_{xi}",
                 )(y)
                 if self.skip and skip is not None:
                     skip_sum = skip if skip_sum is None else skip_sum + skip
         head_in = skip_sum if self.skip else y
-        mask = nn.Conv(n_spk * self.N, (1,), use_bias=False, name="mask_conv")(head_in)
+        mask = nn.Conv(n_spk * self.N, (1,), use_bias=False, dtype=compute_dtype,
+                       name="mask_conv")(head_in)
         k_frames = mask.shape[1]
         mask = mask.reshape(mask.shape[0], k_frames, n_spk, self.N)
         if self.mask_nonlinear == "softmax":
@@ -144,9 +154,9 @@ class ConvTasNet(nn.Module):
 
         # ---- decoder (conv_tasnet.py:179-204): linear basis + overlap-add
         source_w = mixture_w[:, :, None, :] * mask  # [B, K, S, N]
-        frames = nn.Dense(self.audio_channels * self.L, use_bias=False, name="decoder")(
-            source_w
-        )  # [B, K, S, ac*L]
+        frames = nn.Dense(self.audio_channels * self.L, use_bias=False,
+                          dtype=compute_dtype, name="decoder")(source_w)
+        frames = frames.astype(jnp.float32)  # [B, K, S, ac*L]; OLA in f32
         batch = frames.shape[0]
         frames = frames.reshape(batch, k_frames, n_spk, self.audio_channels, self.L)
         frames = frames.transpose(0, 2, 3, 1, 4)  # [B, S, ac, K, L]

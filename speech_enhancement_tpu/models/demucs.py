@@ -167,6 +167,7 @@ class DConv(nn.Module):
     ndecay: int = 4
     lstm: bool = False
     kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +177,7 @@ class DConv(nn.Module):
             pad = dilation * (self.kernel // 2)
             y = nn.Conv(
                 hidden, (self.kernel,), padding=[(pad, pad)],
-                kernel_dilation=(dilation,), name=f"d{d}_conv",
+                kernel_dilation=(dilation,), dtype=self.dtype, name=f"d{d}_conv",
             )(x)
             if self.norm:
                 y = nn.GroupNorm(num_groups=1, name=f"d{d}_norm1")(y)
@@ -186,7 +187,8 @@ class DConv(nn.Module):
             if self.attn:
                 y = LocalState(hidden, heads=self.heads, ndecay=self.ndecay,
                                name=f"d{d}_attn")(y)
-            y = nn.Conv(2 * self.channels, (1,), name=f"d{d}_rewrite")(y)
+            y = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
+                        name=f"d{d}_rewrite")(y)
             if self.norm:
                 y = nn.GroupNorm(num_groups=1, name=f"d{d}_norm2")(y)
             y = jax.nn.glu(y, axis=-1)
@@ -220,6 +222,8 @@ class Demucs(nn.Module):
     normalize: bool = True
     resample: bool = True
     rescale: float = 0.1
+    # compute dtype for convs/LSTM ("bfloat16" = TPU fast path); params f32
+    dtype: str = "float32"
 
     def valid_length(self, length: int) -> int:
         """Nearest padded length with no conv remainder (demucs.py:430-451)."""
@@ -252,7 +256,8 @@ class Demucs(nn.Module):
         if self.resample:
             x = upsample2(x)
 
-        x = jnp.swapaxes(x, 1, 2)  # NWC
+        compute_dtype = jnp.dtype(self.dtype)
+        x = jnp.swapaxes(x, 1, 2).astype(compute_dtype)  # NWC
         ch_scale = 2 if self.glu else 1
         act_gate = (lambda v: jax.nn.glu(v, axis=-1)) if self.glu else nn.relu
 
@@ -262,7 +267,8 @@ class Demucs(nn.Module):
         for index in range(self.depth):
             use_norm = index >= self.norm_starts
             x = nn.Conv(channels, (self.kernel_size,), strides=(self.stride,),
-                        padding="VALID", name=f"enc_{index}_conv")(x)
+                        padding="VALID", dtype=compute_dtype,
+                        name=f"enc_{index}_conv")(x)
             if use_norm:
                 x = nn.GroupNorm(num_groups=self.norm_groups, name=f"enc_{index}_norm")(x)
             x = nn.gelu(x)
@@ -270,10 +276,12 @@ class Demucs(nn.Module):
                 x = DConv(
                     channels, compress=self.dconv_comp, depth=self.dconv_depth,
                     init=self.dconv_init, attn=index >= self.dconv_attn,
-                    lstm=index >= self.dconv_lstm, name=f"enc_{index}_dconv",
+                    lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                    name=f"enc_{index}_dconv",
                 )(x)
             if self.rewrite:
-                x = nn.Conv(ch_scale * channels, (1,), name=f"enc_{index}_rewrite")(x)
+                x = nn.Conv(ch_scale * channels, (1,), dtype=compute_dtype,
+                            name=f"enc_{index}_rewrite")(x)
                 if use_norm:
                     x = nn.GroupNorm(num_groups=self.norm_groups,
                                      name=f"enc_{index}_rwnorm")(x)
@@ -297,7 +305,7 @@ class Demucs(nn.Module):
             if self.rewrite:
                 x = nn.Conv(ch_scale * channels, (2 * self.context + 1,),
                             padding=[(self.context, self.context)],
-                            name=f"dec_{index}_rewrite")(x)
+                            dtype=compute_dtype, name=f"dec_{index}_rewrite")(x)
                 if use_norm:
                     x = nn.GroupNorm(num_groups=self.norm_groups,
                                      name=f"dec_{index}_rwnorm")(x)
@@ -306,18 +314,19 @@ class Demucs(nn.Module):
                 x = DConv(
                     channels, compress=self.dconv_comp, depth=self.dconv_depth,
                     init=self.dconv_init, attn=index >= self.dconv_attn,
-                    lstm=index >= self.dconv_lstm, name=f"dec_{index}_dconv",
+                    lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                    name=f"dec_{index}_dconv",
                 )(x)
             x = nn.ConvTranspose(out_channels, (self.kernel_size,),
                                  strides=(self.stride,), padding="VALID",
-                                 name=f"dec_{index}_tconv")(x)
+                                 dtype=compute_dtype, name=f"dec_{index}_tconv")(x)
             if index > 0:
                 if use_norm:
                     x = nn.GroupNorm(num_groups=self.norm_groups,
                                      name=f"dec_{index}_norm")(x)
                 x = nn.gelu(x)
 
-        x = jnp.swapaxes(x, 1, 2)  # back to [B, C', T]
+        x = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # back to [B, C', T]
         if self.resample:
             x = downsample2(x)
         x = x * std + mean

@@ -32,9 +32,12 @@ class GlobalLayerNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (channels,))
         beta = self.param("beta", nn.initializers.zeros, (channels,))
         axes = tuple(range(1, x.ndim))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=axes, keepdims=True)
-        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+        # statistics in f32 (bf16-safe), output in input dtype
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(x * x, axis=axes, keepdims=True, dtype=jnp.float32) - mean**2
+        scale = (gamma / jnp.sqrt(jnp.maximum(var, 0.0) + self.eps)).astype(x.dtype)
+        shift = (beta - gamma * mean / jnp.sqrt(jnp.maximum(var, 0.0) + self.eps)).astype(x.dtype)
+        return x * scale + shift
 
 
 class ChannelwiseLayerNorm(nn.Module):
@@ -47,9 +50,11 @@ class ChannelwiseLayerNorm(nn.Module):
         channels = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (channels,))
         beta = self.param("beta", nn.initializers.zeros, (channels,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True, dtype=jnp.float32) - mean**2
+        inv = 1.0 / jnp.sqrt(jnp.maximum(var, 0.0) + self.eps)
+        out = (x.astype(jnp.float32) - mean) * inv * gamma + beta
+        return out.astype(x.dtype)
 
 
 class CumulativeLayerNorm(nn.Module):
