@@ -59,9 +59,8 @@ def run():
     if variables.get("batch_stats"):
         apply_vars["batch_stats"] = variables["batch_stats"]
 
-    enhanced = evaluate_utterance(
-        mixture, lambda v, x: model.apply(v, x, train=False), apply_vars, spec, config
-    )
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    enhanced = evaluate_utterance(mixture, apply_fn, apply_vars, spec, config)
     if spec.multi_speaker:
         enhanced = enhanced[:, 0]
     enhanced_np = np.asarray(enhanced)[0]

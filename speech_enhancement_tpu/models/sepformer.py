@@ -49,11 +49,13 @@ class TransformerEncoderLayer(nn.Module):
     d_ffn: int
     norm_before: bool = True
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, qkv_features=self.d_model, name="mha"
+            num_heads=self.nhead, qkv_features=self.d_model, dtype=self.dtype,
+            name="mha"
         )
         ln1 = nn.LayerNorm(name="ln1")
         ln2 = nn.LayerNorm(name="ln2")
@@ -61,14 +63,14 @@ class TransformerEncoderLayer(nn.Module):
             h = ln1(x)
             x = x + attn(h, h)
             h = ln2(x)
-            h = nn.Dense(self.d_ffn, name="ffn1")(h)
+            h = nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(h)
             h = nn.gelu(h)
-            h = nn.Dense(self.d_model, name="ffn2")(h)
+            h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
             return x + h
         h = attn(x, x)
         x = ln1(x + h)
-        h = nn.gelu(nn.Dense(self.d_ffn, name="ffn1")(x))
-        h = nn.Dense(self.d_model, name="ffn2")(h)
+        h = nn.gelu(nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(x))
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
         return ln2(x + h)
 
 
@@ -82,16 +84,17 @@ class SBTransformerBlock(nn.Module):
     d_ffn: int = 2048
     use_positional_encoding: bool = True
     norm_before: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.use_positional_encoding:
             pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model))
-            x = x + pos[None]
+            x = x + pos[None].astype(x.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.d_ffn, self.norm_before,
-                name=f"layer_{i}",
+                dtype=self.dtype, name=f"layer_{i}",
             )(x, train=train)
         return x
 
@@ -140,6 +143,7 @@ class DualComputationBlock(nn.Module):
     nhead: int
     d_ffn: int
     skip_around_intra: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -147,7 +151,8 @@ class DualComputationBlock(nn.Module):
         batch, n_chunks, k, features = x.shape
         intra = x.reshape(batch * n_chunks, k, features)
         intra = SBTransformerBlock(
-            self.intra_layers, self.d_model, self.nhead, self.d_ffn, name="intra"
+            self.intra_layers, self.d_model, self.nhead, self.d_ffn,
+            dtype=self.dtype, name="intra"
         )(intra, train=train)
         intra = intra.reshape(batch, n_chunks, k, features)
         intra = GlobalLayerNorm(name="intra_norm")(intra)
@@ -156,7 +161,8 @@ class DualComputationBlock(nn.Module):
 
         inter = intra.transpose(0, 2, 1, 3).reshape(batch * k, n_chunks, features)
         inter = SBTransformerBlock(
-            self.inter_layers, self.d_model, self.nhead, self.d_ffn, name="inter"
+            self.inter_layers, self.d_model, self.nhead, self.d_ffn,
+            dtype=self.dtype, name="inter"
         )(inter, train=train)
         inter = inter.reshape(batch, k, n_chunks, features).transpose(0, 2, 1, 3)
         inter = GlobalLayerNorm(name="inter_norm")(inter)
@@ -179,6 +185,8 @@ class Sepformer(nn.Module):
     inter_nhead: int = 8
     intra_dffn: int = 1024
     inter_dffn: int = 1024
+    # compute dtype for attention/FFN/convs ("bfloat16" = TPU fast path)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -189,33 +197,38 @@ class Sepformer(nn.Module):
         stride = self.encoder_kernel_size // 2
         d_model = self.encoder_out_nchannels
 
+        compute_dtype = jnp.dtype(self.dtype)
         # ---- encoder: [B, L, N]
-        x = jnp.swapaxes(mix, 1, 2)
+        x = jnp.swapaxes(mix, 1, 2).astype(compute_dtype)
         mix_w = nn.relu(
             nn.Conv(d_model, (self.encoder_kernel_size,), strides=(stride,),
-                    padding="VALID", use_bias=False, name="encoder")(x)
+                    padding="VALID", use_bias=False, dtype=compute_dtype,
+                    name="encoder")(x)
         )
 
         # ---- mask net (Dual_Path_Model, sepformer.py:296-455)
         h = GlobalLayerNorm(name="input_norm")(mix_w)
-        h = nn.Dense(d_model, use_bias=False, name="input_proj")(h)
+        h = nn.Dense(d_model, use_bias=False, dtype=compute_dtype,
+                     name="input_proj")(h)
         h, gap = _segment(h, self.masknet_chunksize)
         for i in range(self.masknet_numlayers):
             h = DualComputationBlock(
                 d_model, self.intra_numlayers, self.inter_numlayers,
                 self.intra_nhead, self.intra_dffn,
                 skip_around_intra=self.masknet_extraskipconnection,
-                name=f"dual_{i}",
+                dtype=compute_dtype, name=f"dual_{i}",
             )(h, train=train)
         h = _PReLU(name="prelu")(h)
-        h = nn.Dense(d_model * n_spk, name="spk_expand")(h)  # [B, S, K, N*spks]
+        h = nn.Dense(d_model * n_spk, dtype=compute_dtype,
+                     name="spk_expand")(h)  # [B, S, K, N*spks]
         b, s_chunks, k, _ = h.shape
         h = h.reshape(b, s_chunks, k, n_spk, d_model)
         h = h.transpose(0, 3, 1, 2, 4).reshape(b * n_spk, s_chunks, k, d_model)
         h = _over_add(h, gap)  # [B*spks, L, N]
-        gate = nn.sigmoid(nn.Conv(d_model, (1,), name="output_gate")(h))
-        h = jnp.tanh(nn.Conv(d_model, (1,), name="output")(h)) * gate
-        h = nn.Dense(d_model, use_bias=False, name="end_proj")(h)
+        gate = nn.sigmoid(nn.Conv(d_model, (1,), dtype=compute_dtype,
+                                   name="output_gate")(h))
+        h = jnp.tanh(nn.Conv(d_model, (1,), dtype=compute_dtype, name="output")(h)) * gate
+        h = nn.Dense(d_model, use_bias=False, dtype=compute_dtype, name="end_proj")(h)
         mask = nn.relu(h).reshape(batch, n_spk, -1, d_model)
 
         # ---- mask + decoder (sepformer.py:154-184, 247-294)
@@ -223,8 +236,9 @@ class Sepformer(nn.Module):
         sep = sep.reshape(batch * n_spk, -1, d_model)
         wav = nn.ConvTranspose(
             self.encoder_in_nchannels, (self.encoder_kernel_size,), strides=(stride,),
-            padding="VALID", use_bias=False, name="decoder",
+            padding="VALID", use_bias=False, dtype=compute_dtype, name="decoder",
         )(sep)  # [B*spks, T', C]
+        wav = wav.astype(jnp.float32)
         wav = jnp.swapaxes(wav, 1, 2).reshape(batch, n_spk, self.encoder_in_nchannels, -1)
         t_est = wav.shape[-1]
         if t_origin > t_est:

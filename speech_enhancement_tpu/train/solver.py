@@ -340,8 +340,10 @@ class Solver:
         limit = int(cfg.get("total_steps", 0)) or None
         sr = int(self.config.dset.sample_rate)
 
-        def apply_eval(variables, inputs):
-            return self.model.apply(variables, inputs, train=False)
+        # jitted once; window-count bucketing in evaluate_utterance keeps the
+        # number of distinct shapes (and thus compilations) small
+        apply_eval = jax.jit(lambda variables, inputs: self.model.apply(
+            variables, inputs, train=False))
 
         variables = {"params": self.state["params"]}
         if self.state["batch_stats"]:
