@@ -122,17 +122,25 @@ class ComplexBatchNorm(nn.Module):
         ra_vii = self.variable("batch_stats", "vii", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
         ra_vri = self.variable("batch_stats", "vri", jnp.zeros, (channels,))
 
+        # NOTE: a "folded" variant (whitening+affine collapsed to per-channel
+        # multiply-adds applied directly to x) measured ~3% slower on v5e
+        # than this f32-centered formulation — XLA fuses this chain better.
+        fr = xr.astype(jnp.float32)
+        fi = xi.astype(jnp.float32)
+
         if use_ra:
             mean_r, mean_i = ra_mean_r.value, ra_mean_i.value
             vrr, vii, vri = ra_vrr.value, ra_vii.value, ra_vri.value
+            cr = fr - mean_r
+            ci = fi - mean_i
         else:
-            # One fused multi-output reduce over the (possibly bf16) input;
-            # dtype=f32 folds the upcast into the reduction (no f32 copies).
-            mean_r = jnp.mean(xr, axis=reduce_axes, dtype=jnp.float32)
-            mean_i = jnp.mean(xi, axis=reduce_axes, dtype=jnp.float32)
-            vrr = jnp.mean(xr * xr, axis=reduce_axes, dtype=jnp.float32) - mean_r**2
-            vii = jnp.mean(xi * xi, axis=reduce_axes, dtype=jnp.float32) - mean_i**2
-            vri = jnp.mean(xr * xi, axis=reduce_axes, dtype=jnp.float32) - mean_r * mean_i
+            mean_r = jnp.mean(fr, axis=reduce_axes)
+            mean_i = jnp.mean(fi, axis=reduce_axes)
+            cr = fr - mean_r
+            ci = fi - mean_i
+            vrr = jnp.mean(cr * cr, axis=reduce_axes)
+            vii = jnp.mean(ci * ci, axis=reduce_axes)
+            vri = jnp.mean(cr * ci, axis=reduce_axes)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean_r.value = m * ra_mean_r.value + (1 - m) * mean_r
@@ -152,20 +160,11 @@ class ComplexBatchNorm(nn.Module):
         wii = (vrr + s) * inv_st
         wri = -vri * inv_st
 
-        # Fold whitening + 2x2 affine into one multiply-add per output part:
-        # z = A @ (x - mean) + beta = A @ x + b. All coefficient algebra is
-        # [C]-sized f32; the big tensors see exactly two fused passes.
-        a_rr = gamma_rr * wrr + gamma_ri * wri
-        a_ri = gamma_rr * wri + gamma_ri * wii
-        a_ir = gamma_ri * wrr + gamma_ii * wri
-        a_ii = gamma_ri * wri + gamma_ii * wii
-        b_r = beta_r - a_rr * mean_r - a_ri * mean_i
-        b_i = beta_i - a_ir * mean_r - a_ii * mean_i
-
-        dt = xr.dtype
-        zr = xr * a_rr.astype(dt) + xi * a_ri.astype(dt) + b_r.astype(dt)
-        zi = xr * a_ir.astype(dt) + xi * a_ii.astype(dt) + b_i.astype(dt)
-        return zr, zi
+        yr = wrr * cr + wri * ci
+        yi = wri * cr + wii * ci
+        zr = gamma_rr * yr + gamma_ri * yi + beta_r
+        zi = gamma_ri * yr + gamma_ii * yi + beta_i
+        return zr.astype(xr.dtype), zi.astype(xi.dtype)
 
 
 class ComplexBatchNormStacked(nn.Module):
