@@ -218,7 +218,6 @@ _DEFAULTS: Dict[str, Any] = {
         "patience": 40,
         "resume": "",
         "preloaded_model": "",
-        "dtype": "float32",
         "validation": {"total_steps": 4, "interval": 1, "metric": "loss"},
         "test": {"total_steps": 4, "interval": 10, "num_show": 2, "metric": "sisdr"},
     },
