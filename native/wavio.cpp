@@ -67,6 +67,15 @@ bool parse_header(FILE* f, WavInfo* info) {
     fseek(f, payload + size + (size & 1), SEEK_SET);
     if (info->data_offset >= 0 && info->format != 0) break;
   }
+  // Reject malformed / unsupported headers up front: bits outside
+  // {8,16,24,32} would make bytes_per_sample 0 (division by zero in
+  // wav_read_f32) or decode as silent zeros; only PCM (1) and IEEE float
+  // (3, 32-bit) format codes are decodable.
+  if (info->bits != 8 && info->bits != 16 && info->bits != 24 &&
+      info->bits != 32)
+    return false;
+  if (info->format != 1 && info->format != 3) return false;
+  if (info->format == 3 && info->bits != 32) return false;
   return info->data_offset >= 0 && info->channels > 0 && info->bits > 0;
 }
 

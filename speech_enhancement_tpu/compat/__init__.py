@@ -1,0 +1,11 @@
+"""Reference (PyTorch) checkpoint interop.
+
+Lets users of the reference framework (ooshyun/Speech-Enhancement-Pytorch)
+carry their trained ``.pth``/``.tar`` weights into this framework's flax
+models. See :mod:`.torch_weights`.
+"""
+
+from speech_enhancement_tpu.compat.torch_weights import (  # noqa: F401
+    dccrn_from_torch_state,
+    load_torch_checkpoint,
+)

@@ -96,7 +96,19 @@ class WavDataset:
         self.normalize = normalize
         self.sample_rate = sample_rate
         self.audio_channels = audio_channels
-        self._rng = np.random.default_rng(seed + 1)
+        self._seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the crop RNG stream; called by the loader each epoch."""
+        self._epoch = int(epoch)
+
+    def _crop_rng(self, item: int) -> np.random.Generator:
+        # Deterministic per (seed, epoch, item): random crops vary across
+        # epochs but are independent of iteration order, so num_workers
+        # threads and multi-host shards see identical data (a shared
+        # mutable RNG would be both order-dependent and racy).
+        return np.random.default_rng((self._seed + 1, self._epoch, int(item)))
 
     def __len__(self) -> int:
         return len(self.mixture_files)
@@ -122,7 +134,7 @@ class WavDataset:
         sources, sources_meta = normalize_with_meta(sources, self.normalize)
         if self.sample_length:
             mixture, sources = sample_fixed_length_data_aligned(
-                mixture, sources, self.sample_length, self._rng
+                mixture, sources, self.sample_length, self._crop_rng(item)
             )
         return {
             "mixture": mixture,
@@ -185,12 +197,16 @@ class ClarityWavDataset:
         self.normalize = normalize
         self.sample_rate = sample_rate
         self.audio_channels = audio_channels
-        self._rng = np.random.default_rng(seed + 1)
+        self._seed = seed
+        self._epoch = 0
         time_meta = os.path.join(path_dataset, "custom_metadata", "scenes.train.time.json")
         self.target_time = None
         if os.path.exists(time_meta):
             with open(time_meta) as handle:
                 self.target_time = json.load(handle)
+
+    set_epoch = WavDataset.set_epoch
+    _crop_rng = WavDataset._crop_rng
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -220,7 +236,7 @@ class ClarityWavDataset:
         sources, sources_meta = normalize_with_meta(sources, self.normalize)
         if self.sample_length:
             mixture, sources = sample_fixed_length_data_aligned(
-                mixture, sources, self.sample_length, self._rng
+                mixture, sources, self.sample_length, self._crop_rng(item)
             )
         return {
             "mixture": mixture,

@@ -73,17 +73,49 @@ class SegmentLoader:
         # Upper-bound estimate; exact count depends on utterance lengths.
         return max(1, len(self.dataset))
 
+    def _iter_items(self, order: np.ndarray) -> Iterator[Dict[str, np.ndarray]]:
+        """Decode dataset items, optionally on ``num_workers`` threads.
+
+        Wav decode + resample + normalize are numpy/libsndfile work that
+        releases the GIL, so a small thread pool overlaps decode of the next
+        items with batching of the current one (the reference's counterpart
+        is torch DataLoader worker processes, src/distrib.py:212-224).
+        Order is preserved.
+        """
+        if self.num_workers <= 0:
+            for idx in order:
+                yield self.dataset[int(idx)]
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers * 2
+            futures = [
+                pool.submit(self.dataset.__getitem__, int(idx))
+                for idx in order[:window]
+            ]
+            pos = window
+            while futures:
+                yield futures.pop(0).result()
+                if pos < len(order):
+                    futures.append(
+                        pool.submit(self.dataset.__getitem__, int(order[pos]))
+                    )
+                    pos += 1
+
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            # advance per-epoch crop RNG streams (order-independent crops)
+            self.dataset.set_epoch(self._seed + self._epoch)
         self._epoch += 1
 
         pool_mix: List[np.ndarray] = []
         pool_src: List[np.ndarray] = []
-        for idx in order:
-            item = self.dataset[int(idx)]
+        for item in self._iter_items(order):
             mix = item["mixture"]
             src = item["sources"]
             if mix.shape[-1] < self.segment_length:
@@ -171,6 +203,10 @@ def get_train_wav_dataset(dset_config, model_config, seed: int = 0):
         total = len(find_wav_files(mix_dir))
         ratios = [float(r) for r in dset_config.split]
         splits = split_list(list(range(total)), ratios)
+        # multi-host SPMD: each process trains on a disjoint shard of the
+        # train split; val/test stay whole so every host reports the same
+        # validation loss (single-process: identity)
+        splits[0] = shard_for_process(splits[0])
         common = dict(
             mixture_dataset=mix_dir,
             clean_dataset=clean_dir,
@@ -198,6 +234,7 @@ def get_train_wav_dataset(dset_config, model_config, seed: int = 0):
             scenes = json.load(handle)
         ratios = [float(r) for r in dset_config.split]
         splits = split_list(scenes, ratios)
+        splits[0] = shard_for_process(splits[0])  # per-host train shard
         common = dict(
             path_dataset=root,
             normalize=dset_config.norm,
@@ -245,8 +282,14 @@ def get_dev_wav_clarity(dset_config, seed: int = 0):
     )
 
 
-def get_dataloader(dataset, config, train: bool = True, seed: int = 0):
-    """Loader factory (reference: distrib.py:212-224)."""
+def get_dataloader(dataset, config, train: bool = True, seed: int = 0,
+                   validation: bool = False):
+    """Loader factory (reference: distrib.py:212-224).
+
+    Validation loaders keep the tail batch (zero-padded + masked) so every
+    segment is counted in the epoch val loss exactly once; training drops
+    only the final partial batch of the epoch (fixed-shape batching).
+    """
     if not train:
         return EvalLoader(dataset)
     segment_length = int(config.dset.sample_rate * config.dset.segment)
@@ -254,8 +297,26 @@ def get_dataloader(dataset, config, train: bool = True, seed: int = 0):
         dataset,
         batch_size=int(config.solver.batch_size),
         segment_length=segment_length,
-        shuffle=True,
-        drop_last=True,
+        shuffle=not validation,
+        drop_last=not validation,
         seed=seed,
         num_workers=int(config.solver.get("num_workers", 0) or 0),
     )
+
+
+def shard_for_process(items: Sequence, index: Optional[int] = None,
+                      count: Optional[int] = None) -> list:
+    """Disjoint per-host shard of a file/scene list for multi-host SPMD.
+
+    Each JAX process (host) loads only every ``process_count``-th item, so
+    the global batch is assembled from disjoint host shards — the multi-host
+    replacement for DataParallel's single-process scatter (SURVEY §2c).
+    With one process this is the identity.
+    """
+    if index is None:
+        import jax
+
+        index = jax.process_index()
+        count = jax.process_count()
+    count = max(int(count or 1), 1)
+    return list(items)[index::count]

@@ -100,3 +100,67 @@ def make_clarity(
     with open(os.path.join(meta_dir, "scenes.train.time.json"), "w") as handle:
         json.dump(times, handle)
     return root
+
+
+def make_ha_config(
+    root: str,
+    scenes=None,
+    n_listeners: int = 2,
+    fs: int = 44100,
+    seed: int = 0,
+) -> str:
+    """Write a miniature Clarity hearing-aid config tree and return the
+    ha.yaml path (the ``config.ha`` surface: reference src/ha/conf/config.yaml
+    + clarity_data/metadata/listeners.json + scenes_listeners.json)."""
+    rng = np.random.default_rng(seed)
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    cfs = [250, 500, 1000, 2000, 3000, 4000, 6000, 8000]
+    listeners = {}
+    for i in range(1, n_listeners + 1):
+        # mild-to-moderate sloping losses, the typical Clarity shape
+        base = rng.uniform(15, 40)
+        slope = rng.uniform(2, 8)
+        levels = [round(float(base + slope * j + rng.uniform(-5, 5)), 1)
+                  for j in range(len(cfs))]
+        listeners[f"L{i:04d}"] = {
+            "name": f"L{i:04d}",
+            "audiogram_cfs": cfs,
+            "audiogram_levels_l": levels,
+            "audiogram_levels_r": [round(v + 2.0, 1) for v in levels],
+        }
+    listeners_file = os.path.join(meta_dir, "listeners.json")
+    with open(listeners_file, "w") as handle:
+        json.dump(listeners, handle)
+
+    scenes_file = os.path.join(meta_dir, "scenes_listeners.json")
+    ids = list(listeners)
+    scene_map = {s: [ids[i % len(ids)]] for i, s in enumerate(scenes or [])}
+    with open(scenes_file, "w") as handle:
+        json.dump(scene_map, handle)
+
+    ha_yaml = os.path.join(root, "ha.yaml")
+    with open(ha_yaml, "w") as handle:
+        handle.write(
+            f"""path:
+  root: '{root}'
+  metadata_dir: ${{path.root}}/metadata
+  listeners_file: ${{path.metadata_dir}}/listeners.json
+  scenes_listeners_file: ${{path.metadata_dir}}/scenes_listeners.json
+
+nalr:
+  nfir: 220
+  fs: {fs}
+
+compressor:
+  threshold: 0.35
+  attenuation: 0.1
+  attack: 50
+  release: 1000
+  rms_buffer_size: 0.064
+
+soft_clip: True
+"""
+        )
+    return ha_yaml

@@ -17,14 +17,37 @@ from speech_enhancement_tpu.train.solver import Solver
 from speech_enhancement_tpu.utils import seed_everything
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (unless the user configured their own).
+
+    Remote-compiled TPU programs can take minutes; with the cache, reruns
+    of the same config (and the eval program across epochs) are instant.
+    """
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/speech_enhancement_tpu/jax"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
 def main(
     config: Union[str, Config],
     mode: str = "train",
     return_solver: bool = False,
     save: bool = False,
+    dev: bool = False,
     run_dir: Optional[str] = None,
     mesh=None,
 ):
+    _enable_compile_cache()
     if isinstance(config, str):
         config = load_config(config)
     else:
@@ -36,8 +59,15 @@ def main(
     train_set, val_set, test_set = get_train_wav_dataset(
         config.dset, config.model, seed=seed
     )
+    if dev:
+        # dev-set swap (reference: src/train.py:20,36 → get_dev_wav_clarity):
+        # evaluate against the Clarity dev scenes instead of the test split
+        from speech_enhancement_tpu.data.loader import get_dev_wav_clarity
+
+        test_set = get_dev_wav_clarity(config.dset, seed=seed)
     train_loader = get_dataloader(train_set, config, train=True, seed=seed)
-    val_loader = get_dataloader(val_set, config, train=True, seed=seed + 1)
+    val_loader = get_dataloader(val_set, config, train=True, seed=seed + 1,
+                                validation=True)
     test_loader = get_dataloader(test_set, config, train=False)
 
     model, spec = build_model(config.model)

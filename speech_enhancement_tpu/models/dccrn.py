@@ -58,13 +58,24 @@ def _stft_bases(win_len: int, fft_len: int) -> Tuple[np.ndarray, np.ndarray, np.
     return fwd, inv, window.astype(np.float32)
 
 
-def conv_stft(wav: jnp.ndarray, win_len: int, win_inc: int, fft_len: int) -> jnp.ndarray:
-    """[B, T] -> [B, 2F, T'] with the reference's both-sides (win-hop) pad."""
+def conv_stft(wav: jnp.ndarray, win_len: int, win_inc: int, fft_len: int,
+              method: str = "matmul") -> jnp.ndarray:
+    """[B, T] -> [B, 2F, T'] with the reference's both-sides (win-hop) pad.
+
+    method="pallas" runs the fused framing+matmul kernel
+    (ops/pallas/stft.py) instead of materializing the frame tensor.
+    """
     pad = win_len - win_inc
     x = jnp.pad(wav, ((0, 0), (pad, pad)))
-    frames = frame_signal(x, win_len, win_inc)  # [B, T', win]
     fwd, _, _ = _stft_bases(win_len, fft_len)
-    spec = jnp.matmul(frames, jnp.asarray(fwd), preferred_element_type=jnp.float32)
+    if method == "pallas" and win_len % win_inc == 0:
+        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        spec = stft_pallas(x, fwd, win_inc, win_len, interpret=interpret)
+    else:
+        frames = frame_signal(x, win_len, win_inc)  # [B, T', win]
+        spec = jnp.matmul(frames, jnp.asarray(fwd), preferred_element_type=jnp.float32)
     return jnp.swapaxes(spec, 1, 2)  # [B, 2F, T']
 
 
@@ -113,6 +124,7 @@ class _ComplexConvBlock(nn.Module):
     features: int  # per complex part
     kernel_size: int = 5
     dtype: object = None
+    cbn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -136,7 +148,9 @@ class _ComplexConvBlock(nn.Module):
         )
         yr = y2[..., : self.features] + br.astype(y2.dtype)
         yi = y2[..., self.features :] + bi.astype(y2.dtype)
-        yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
+        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold)(
+            (yr, yi), use_running_average=not train
+        )
         prelu = _PReLU(name="prelu")
         return prelu(yr), prelu(yi)
 
@@ -146,6 +160,7 @@ class _ComplexDeconvBlock(nn.Module):
     kernel_size: int = 5
     last: bool = False
     dtype: object = None
+    cbn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -175,7 +190,9 @@ class _ComplexDeconvBlock(nn.Module):
         yi = y2[..., self.features :] + bi.astype(y2.dtype)
         if self.last:
             return yr, yi
-        yr, yi = ComplexBatchNorm(name="cbn")((yr, yi), use_running_average=not train)
+        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold)(
+            (yr, yi), use_running_average=not train
+        )
         prelu = _PReLU(name="prelu")
         return prelu(yr), prelu(yi)
 
@@ -200,6 +217,16 @@ class DCCRN(nn.Module):
     # inference path (ops/pallas/masking.py); training keeps the autodiff
     # XLA composition
     use_pallas_mask: bool = False
+    # folded-coefficient ComplexBatchNorm (see ops/complex_ops.py): one-pass
+    # f32 moment stats + per-channel fused multiply-add apply in the compute
+    # dtype — the bf16 fast path
+    cbn_fold: bool = False
+    # rematerialize encoder/decoder blocks in the backward pass: trades
+    # (cheap, VPU) recompute for HBM activation traffic
+    remat: bool = False
+    # fused Pallas framing+basis-matmul front-end (inference path only —
+    # Pallas kernels carry no VJP here; training keeps the matmul ConvSTFT)
+    use_pallas_stft: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -209,7 +236,9 @@ class DCCRN(nn.Module):
         length = wav.shape[-1]
         n_freq = self.fft_len // 2 + 1
 
-        specs = conv_stft(wav, self.win_len, self.win_inc, self.fft_len)
+        stft_method = "pallas" if (self.use_pallas_stft and not train) else "matmul"
+        specs = conv_stft(wav, self.win_len, self.win_inc, self.fft_len,
+                          method=stft_method)
         real = specs[:, :n_freq]
         imag = specs[:, n_freq:]
         spec_mags = jnp.sqrt(real**2 + imag**2 + 1e-8)
@@ -220,10 +249,19 @@ class DCCRN(nn.Module):
         xi = imag[:, 1:, :, None]
 
         compute_dtype = jnp.dtype(self.dtype)
+        enc_block = _ComplexConvBlock
+        dec_block = _ComplexDeconvBlock
+        if self.remat:
+            # recompute block activations in the backward pass instead of
+            # saving them (jax.checkpoint): the blocks are elementwise/HBM
+            # bound, so recompute is cheaper than the saved-residual traffic
+            enc_block = nn.remat(enc_block, static_argnums=(2,))
+            dec_block = nn.remat(dec_block, static_argnums=(2,))
         skips = []
         for idx, features in enumerate(self.kernel_num):
-            xr, xi = _ComplexConvBlock(
-                features // 2, self.kernel_size, dtype=compute_dtype, name=f"enc_{idx}"
+            xr, xi = enc_block(
+                features // 2, self.kernel_size, dtype=compute_dtype,
+                cbn_fold=self.cbn_fold, name=f"enc_{idx}"
             )((xr, xi), train)
             skips.append((xr, xi))
 
@@ -258,9 +296,9 @@ class DCCRN(nn.Module):
             skip_r, skip_i = skips[len(skips) - 1 - idx]
             xr = jnp.concatenate([xr, skip_r], axis=-1)
             xi = jnp.concatenate([xi, skip_i], axis=-1)
-            xr, xi = _ComplexDeconvBlock(
+            xr, xi = dec_block(
                 features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
-                dtype=compute_dtype, name=f"dec_{idx}",
+                dtype=compute_dtype, cbn_fold=self.cbn_fold, name=f"dec_{idx}",
             )((xr, xi), train)
 
         # mask head and synthesis in float32 regardless of compute dtype

@@ -41,33 +41,122 @@ def sinusoidal_positions(length: int, d_model: int) -> np.ndarray:
     return out
 
 
+def relative_positions(length: int, d_model: int) -> np.ndarray:
+    """Bidirectional sinusoidal embeddings for offsets L-1 .. -(L-1).
+
+    The pos_embs input of the reference's RelPosMHAXL ("(1, 2*S-1, E)",
+    Transformer.py:658-663) — Transformer-XL style, positive offsets first.
+    """
+    pos = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+    out = np.zeros((2 * length - 1, d_model), np.float32)
+    out[:, 0::2] = np.sin(pos * div)
+    out[:, 1::2] = np.cos(pos * div[: (d_model + 1) // 2])
+    return out
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative-shift trick (reference Transformer.py:620-637).
+
+    [B, H, L, 2L-1] scores against offset-ordered positions -> [B, H, L, L]
+    where out[:, :, i, j] picks the score at relative offset (i - j).
+    """
+    b, h, qlen, pos_len = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (b, h, L, 2L)
+    x = x.reshape(b, h, pos_len + 1, qlen)
+    x = x[:, :, 1:].reshape(b, h, qlen, pos_len)
+    return x[..., : pos_len // 2 + 1]
+
+
+class RelPosMHAXL(nn.Module):
+    """Transformer-XL relative positional multi-head attention.
+
+    Faithful port of the reference's RelPosMHAXL (Transformer.py:515-792,
+    Dai et al. 2019): packed qkv projection, position projection without
+    bias, learned per-head content/position biases (pos_bias_u/v), the
+    rel-shift trick, and the reference's 1/sqrt(embed_dim) scale (NOT the
+    usual per-head 1/sqrt(head_dim) — a reference quirk preserved).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_embs: jnp.ndarray) -> jnp.ndarray:
+        bsz, qlen, _ = x.shape
+        head_dim = self.embed_dim // self.num_heads
+        assert head_dim * self.num_heads == self.embed_dim
+
+        qkv = nn.Dense(3 * self.embed_dim, use_bias=False, dtype=self.dtype,
+                       name="in_proj")(x)
+        qkv = qkv.reshape(bsz, qlen, self.num_heads, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, L, H, D] each
+
+        p_k = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
+                       name="linear_pos")(pos_embs.astype(qkv.dtype))
+        p_k = p_k.reshape(1, -1, self.num_heads, head_dim)  # [1, 2L-1, H, D]
+
+        pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (head_dim, self.num_heads)
+        ).T.astype(qkv.dtype)
+        pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (head_dim, self.num_heads)
+        ).T.astype(qkv.dtype)
+
+        # content score: (q + u) . k        [B, H, L, L]
+        matrix_ac = jnp.einsum("blhd,bmhd->bhlm", q + pos_bias_u[None, None], k)
+        # position score: (q + v) . p_k     [B, H, L, 2L-1] -> rel-shifted
+        matrix_bd = jnp.einsum("blhd,xmhd->bhlm", q + pos_bias_v[None, None], p_k)
+        matrix_bd = _rel_shift(matrix_bd)
+
+        scale = 1.0 / math.sqrt(self.embed_dim)  # reference Transformer.py:607
+        score = (matrix_ac + matrix_bd) * scale
+        probs = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+        out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+        out = out.reshape(bsz, qlen, self.embed_dim)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+
+
 class TransformerEncoderLayer(nn.Module):
-    """Pre/post-norm MHA + positionwise FFN (reference Transformer.py:24-264)."""
+    """Pre/post-norm MHA + positionwise FFN (reference Transformer.py:24-264).
+
+    ``attention_type`` selects torch-style dot-product MHA ("regularMHA") or
+    Transformer-XL relative positional MHA ("RelPosMHAXL"), mirroring the
+    reference's TransformerEncoderLayer switch (Transformer.py:137-264).
+    """
 
     d_model: int
     nhead: int
     d_ffn: int
     norm_before: bool = True
     dropout: float = 0.0
+    attention_type: str = "regularMHA"
     dtype: object = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def _attend(self, h: jnp.ndarray, pos_embs) -> jnp.ndarray:
+        if self.attention_type == "RelPosMHAXL":
+            return RelPosMHAXL(self.d_model, self.nhead, dtype=self.dtype,
+                               name="mha")(h, pos_embs)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model, dtype=self.dtype,
             name="mha"
         )
+        return attn(h, h)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_embs=None, train: bool = False) -> jnp.ndarray:
         ln1 = nn.LayerNorm(name="ln1")
         ln2 = nn.LayerNorm(name="ln2")
         if self.norm_before:
             h = ln1(x)
-            x = x + attn(h, h)
+            x = x + self._attend(h, pos_embs)
             h = ln2(x)
             h = nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(h)
             h = nn.gelu(h)
             h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
             return x + h
-        h = attn(x, x)
+        h = self._attend(x, pos_embs)
         x = ln1(x + h)
         h = nn.gelu(nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(x))
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
@@ -76,7 +165,9 @@ class TransformerEncoderLayer(nn.Module):
 
 class SBTransformerBlock(nn.Module):
     """Transformer encoder stack with optional sinusoidal positions
-    (reference sepformer.py:558-654)."""
+    (reference sepformer.py:558-654). With RelPosMHAXL the absolute
+    positional encoding is skipped and shared relative embeddings feed every
+    layer (the speechbrain arrangement)."""
 
     num_layers: int
     d_model: int
@@ -84,19 +175,46 @@ class SBTransformerBlock(nn.Module):
     d_ffn: int = 2048
     use_positional_encoding: bool = True
     norm_before: bool = True
+    attention_type: str = "regularMHA"
     dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.use_positional_encoding:
+        pos_embs = None
+        if self.attention_type == "RelPosMHAXL":
+            pos_embs = jnp.asarray(relative_positions(x.shape[1], self.d_model))
+        elif self.use_positional_encoding:
             pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model))
             x = x + pos[None].astype(x.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.d_ffn, self.norm_before,
-                dtype=self.dtype, name=f"layer_{i}",
-            )(x, train=train)
+                attention_type=self.attention_type, dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, pos_embs=pos_embs, train=train)
         return x
+
+
+class SBRNNBlock(nn.Module):
+    """RNN block for the dual-path pipeline (reference sepformer.py:790-848):
+    a (bi)directional LSTM/GRU stack whose output is projected back to
+    d_model by the Dual_Computation_Block linear (sepformer.py:707-726)."""
+
+    hidden_channels: int
+    num_layers: int = 1
+    rnn_type: str = "lstm"
+    bidirectional: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from speech_enhancement_tpu.ops.rnn import RNNStack
+
+        return RNNStack(
+            rnn_type=self.rnn_type, hidden_size=self.hidden_channels,
+            num_layers=self.num_layers, bidirectional=self.bidirectional,
+            name="rnn",
+        )(x, train=train)
 
 
 def _segment(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, int]:
@@ -135,35 +253,63 @@ class _PReLU(nn.Module):
 
 class DualComputationBlock(nn.Module):
     """Intra-chunk then inter-chunk processing with norms + skips
-    (reference sepformer.py:656-787)."""
+    (reference sepformer.py:656-787). Intra and inter paths carry
+    independent head/FFN settings, and each path can be a transformer
+    stack or an SBRNNBlock + linear (the reference's
+    linear_layer_after_inter_intra arrangement, sepformer.py:707-726)."""
 
     d_model: int
     intra_layers: int
     inter_layers: int
-    nhead: int
-    d_ffn: int
+    intra_nhead: int
+    inter_nhead: int
+    intra_dffn: int
+    inter_dffn: int
+    intra_block: str = "transformer"  # "transformer" | "rnn"
+    inter_block: str = "transformer"
+    rnn_hidden: int = 256
+    rnn_bidirectional: bool = True
+    attention_type: str = "regularMHA"
     skip_around_intra: bool = True
     dtype: object = None
+
+    def _path(self, x, *, layers, nhead, dffn, block, name, train):
+        if block == "rnn":
+            h = SBRNNBlock(
+                self.rnn_hidden, num_layers=layers, rnn_type="lstm",
+                bidirectional=self.rnn_bidirectional, dtype=self.dtype,
+                name=name,
+            )(x, train=train)
+            # project (2*)hidden back to d_model (reference's intra/inter
+            # Linear after an RNN block, sepformer.py:709-714)
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name=f"{name}_linear")(h)
+        return SBTransformerBlock(
+            layers, self.d_model, nhead, dffn,
+            attention_type=self.attention_type, dtype=self.dtype, name=name,
+        )(x, train=train)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: [B, S, K, N]
         batch, n_chunks, k, features = x.shape
         intra = x.reshape(batch * n_chunks, k, features)
-        intra = SBTransformerBlock(
-            self.intra_layers, self.d_model, self.nhead, self.d_ffn,
-            dtype=self.dtype, name="intra"
-        )(intra, train=train)
+        intra = self._path(
+            intra, layers=self.intra_layers, nhead=self.intra_nhead,
+            dffn=self.intra_dffn, block=self.intra_block, name="intra",
+            train=train,
+        )
         intra = intra.reshape(batch, n_chunks, k, features)
         intra = GlobalLayerNorm(name="intra_norm")(intra)
         if self.skip_around_intra:
             intra = intra + x
 
         inter = intra.transpose(0, 2, 1, 3).reshape(batch * k, n_chunks, features)
-        inter = SBTransformerBlock(
-            self.inter_layers, self.d_model, self.nhead, self.d_ffn,
-            dtype=self.dtype, name="inter"
-        )(inter, train=train)
+        inter = self._path(
+            inter, layers=self.inter_layers, nhead=self.inter_nhead,
+            dffn=self.inter_dffn, block=self.inter_block, name="inter",
+            train=train,
+        )
         inter = inter.reshape(batch, k, n_chunks, features).transpose(0, 2, 1, 3)
         inter = GlobalLayerNorm(name="inter_norm")(inter)
         return inter + intra
@@ -185,6 +331,15 @@ class Sepformer(nn.Module):
     inter_nhead: int = 8
     intra_dffn: int = 1024
     inter_dffn: int = 1024
+    # "regularMHA" (torch MultiheadAttention analogue) or "RelPosMHAXL"
+    # (Transformer-XL relative positional attention, Transformer.py:515-792)
+    attention_type: str = "regularMHA"
+    # intra/inter path block type: "transformer" or "rnn" (SBRNNBlock,
+    # sepformer.py:790-848)
+    intra_block: str = "transformer"
+    inter_block: str = "transformer"
+    rnn_hidden: int = 256
+    rnn_bidirectional: bool = True
     # compute dtype for attention/FFN/convs ("bfloat16" = TPU fast path)
     dtype: str = "float32"
 
@@ -214,7 +369,12 @@ class Sepformer(nn.Module):
         for i in range(self.masknet_numlayers):
             h = DualComputationBlock(
                 d_model, self.intra_numlayers, self.inter_numlayers,
-                self.intra_nhead, self.intra_dffn,
+                intra_nhead=self.intra_nhead, inter_nhead=self.inter_nhead,
+                intra_dffn=self.intra_dffn, inter_dffn=self.inter_dffn,
+                intra_block=self.intra_block, inter_block=self.inter_block,
+                rnn_hidden=self.rnn_hidden,
+                rnn_bidirectional=self.rnn_bidirectional,
+                attention_type=self.attention_type,
                 skip_around_intra=self.masknet_extraskipconnection,
                 dtype=compute_dtype, name=f"dual_{i}",
             )(h, train=train)

@@ -48,7 +48,16 @@ class WavUNet(nn.Module):
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # wav: [B, C=1, T]; T must be divisible by 2**unet_nlayers
+        # wav: [B, C=1, T]. The reference requires T divisible by
+        # 2**unet_nlayers (odd lengths crash its skip concats); here the
+        # input is zero-padded up to the next multiple and the output
+        # trimmed back — a robustness fix, same math on conforming lengths
+        # (Demucs handles this the same way via valid_length).
+        length = wav.shape[-1]
+        block = 2 ** self.unet_nlayers
+        pad = (-length) % block
+        if pad:
+            wav = jnp.pad(wav, ((0, 0), (0, 0), (0, pad)))
         x = jnp.swapaxes(wav, 1, 2)  # [B, T, C]
         inp = x
 
@@ -70,4 +79,4 @@ class WavUNet(nn.Module):
         x = jnp.concatenate([x, inp], axis=-1)
         x = nn.Conv(1, (1,), name="out")(x)
         x = jnp.tanh(x)
-        return jnp.swapaxes(x, 1, 2)  # [B, 1, T]
+        return jnp.swapaxes(x, 1, 2)[..., :length]  # [B, 1, T]

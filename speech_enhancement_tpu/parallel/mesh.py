@@ -5,8 +5,16 @@ The reference's only parallelism is single-process ``torch.nn.DataParallel``
 outputs on GPU 0. The TPU-native replacement is SPMD: the jitted train step
 is ``shard_map``-ped over a 1-D ``data`` mesh axis; each device holds a full
 replica of the parameters (replicated spec), consumes its batch shard, and
-gradients/batch-stats are reduced with ``lax.pmean`` over ICI. The same
-program scales to multi-host/multi-slice — XLA inserts the collectives.
+gradients/batch-stats are reduced with ``lax.pmean`` over ICI.
+
+Multi-host story (tested only on a virtual single-host mesh in this image):
+the compiled program is host-count agnostic — the same shard_map program
+runs under multi-process JAX with XLA routing the pmean over ICI/DCN — and
+the host data path shards file lists per process via
+``data.loader.shard_for_process`` (jax.process_index), so each host feeds
+only its slice of the global batch. What is NOT yet exercised anywhere:
+a real multi-process launch (jax.distributed.initialize); Solver assumes
+its ``batch_size`` is the per-host batch.
 
 A ``model`` axis is reserved in :func:`make_mesh` for tensor-parallel
 shardings of larger models (none of the reference's models need it — the

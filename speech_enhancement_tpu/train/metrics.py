@@ -31,6 +31,13 @@ try:  # optional C PESQ (ITU P.862), as in the reference
 except ImportError:  # pragma: no cover - image has no pesq wheel
     HAS_PESQ = False
 
+try:  # optional narrow-band PESQ (pypesq), reference metric.py:178-196
+    from pypesq import pesq as _nb_pesq  # type: ignore
+
+    HAS_PYPESQ = True
+except ImportError:  # pragma: no cover - image has no pypesq wheel
+    HAS_PYPESQ = False
+
 _EPS = np.finfo(np.float64).eps
 
 
@@ -118,6 +125,25 @@ def wb_pesq(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000) -> O
     return float(np.mean(scores)) if scores else 0.0
 
 
+def nb_pesq(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000) -> Optional[float]:
+    """Narrow-band PESQ via pypesq if present, else None (reference:
+    src/metric.py:178-196 NB_PESQ — same flatten-and-mean shape contract,
+    errors per utterance tolerated and skipped like WB)."""
+    if not HAS_PYPESQ:
+        return None
+    reference = np.asarray(reference)
+    estimation = np.asarray(estimation)
+    flat_ref = reference.reshape(-1, reference.shape[-1])
+    flat_est = estimation.reshape(-1, estimation.shape[-1])
+    scores = []
+    for r, e in zip(flat_ref, flat_est):
+        try:
+            scores.append(_nb_pesq(r, e, sr))
+        except Exception:
+            continue
+    return float(np.mean(scores)) if scores else 0.0
+
+
 def compute_metrics(
     clean: np.ndarray,
     estimate: np.ndarray,
@@ -132,6 +158,8 @@ def compute_metrics(
         out["stoi"] = stoi_score(clean, estimate, sr)
     if "pesq" in include:
         out["pesq"] = wb_pesq(clean, estimate, sr)
+    if "nb-pesq" in include:
+        out["nb-pesq"] = nb_pesq(clean, estimate, sr)
     if "sdr" in include:
         out["sdr"] = sdr(clean, estimate, sr)
     return out

@@ -79,6 +79,29 @@ class Solver:
         self.val_loader = val_loader
         self.test_loader = test_loader
         self.mesh = mesh
+        if mesh is not None:
+            n_data = int(mesh.shape.get("data", 1))
+            batch = int(config.solver.batch_size)
+            if batch % max(n_data, 1) != 0:
+                raise ValueError(
+                    f"solver.batch_size={batch} is not divisible by the data-"
+                    f"parallel mesh axis (data={n_data}); each device must "
+                    f"receive an equal batch shard. Use a batch size that is "
+                    f"a multiple of {n_data}."
+                )
+
+        # Clarity hearing-aid scoring (reference solver.py:124-130: config.ha
+        # points at the OmegaConf HA YAML whose listeners.json provides the
+        # audiogram list). Built lazily-but-eagerly here so a bad path fails
+        # at init, like the reference's OmegaConf.load would.
+        self.clarity_scorer = None
+        ha_path = str(config.get("ha", "") or "")
+        if ha_path:
+            from speech_enhancement_tpu.ha.scoring import ClarityScorer
+
+            self.clarity_scorer = ClarityScorer(
+                ha_path, input_sr=int(config.dset.sample_rate)
+            )
 
         self.loss_name = str(config.optim.loss)
         self.loss_fn = losses_lib.get_loss_function(self.loss_name)
@@ -172,7 +195,14 @@ class Solver:
 
     def _compute_loss(self, output, target, inputs):
         if self.use_pit and target.ndim >= 2 and target.shape[1] >= 2:
-            pit_value, _ = losses_lib.pit_loss(output, target, self.loss_fn)
+            # psa losses need the mixture; bind it so PIT's 2-arg pairwise
+            # calls work (the reference threads mixture through its PIT
+            # routine the same way, src/loss.py:58-72)
+            if self.loss_name.startswith("psa"):
+                pair_fn = lambda e, t: self.loss_fn(e, t, inputs)  # noqa: E731
+            else:
+                pair_fn = self.loss_fn
+            pit_value, _ = losses_lib.pit_loss(output, target, pair_fn)
             if not self.pit_discard_compat:
                 return pit_value
             # reference computes PIT then overwrites it (solver.py:469-480)
@@ -220,13 +250,23 @@ class Solver:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def _build_val_step(self):
-        def val_fn(state, mixture, sources):
+        def val_fn(state, mixture, sources, mask):
             inputs, target = self._adapt(mixture, sources)
             variables = {"params": state["params"]}
             if state["batch_stats"]:
                 variables["batch_stats"] = state["batch_stats"]
             output = self.model.apply(variables, inputs, train=False)
-            return self._compute_loss(output, target, inputs)
+            # Per-example losses (vmap re-adds a singleton batch dim so the
+            # scalar loss machinery — incl. PIT/psa — applies unchanged),
+            # weighted by the validity mask: the final short batch of a
+            # validation epoch is zero-padded by the loader, and padded rows
+            # must not dilute the epoch val loss (the reference counts every
+            # utterance exactly once because its batches are variable-size,
+            # src/distrib.py:38-98).
+            per_example = jax.vmap(
+                lambda o, t, i: self._compute_loss(o[None], t[None], i[None])
+            )(output, target, inputs)
+            return jnp.sum(per_example * mask), jnp.sum(mask)
 
         return jax.jit(val_fn)
 
@@ -235,12 +275,16 @@ class Solver:
         loader = self.train_loader if train else self.val_loader
         cfg = self.config.solver
         limit = None
-        if train and not bool(cfg.get("all_steps", True)):
-            limit = int(cfg.get("total_steps", 0)) or None
-        if not train:
-            limit = int(cfg.validation.get("total_steps", 0)) or None
+        # step caps apply only when all_steps is false, train AND validation
+        # alike (reference src/solver.py:409-417; with the default
+        # all_steps: true the full validation set scores every epoch)
+        if not bool(cfg.get("all_steps", True)):
+            if train:
+                limit = int(cfg.get("total_steps", 0)) or None
+            else:
+                limit = int(cfg.validation.get("total_steps", 0)) or None
 
-        total, count = 0.0, 0
+        total, count = 0.0, 0.0
         for step, batch in enumerate(loader):
             if limit is not None and step >= limit:
                 break
@@ -260,13 +304,18 @@ class Solver:
                         f"non-finite loss {loss_value} at epoch {epoch} step {step}"
                     )
                 if self.writer:
-                    gstep = epoch * 100000 + step
+                    gstep = int(self.state["step"])  # true global step counter
                     self.writer.add_scalar("train/step_loss", loss_value, gstep)
                     self.writer.add_scalar("train/grad_norm", float(grad_norm), gstep)
+                total += loss_value
+                count += 1
             else:
-                loss_value = float(self._val_step(self.state, mixture, sources))
-            total += loss_value
-            count += 1
+                mask = jnp.asarray(
+                    batch.get("mask", np.ones(mixture.shape[0], np.float32))
+                )
+                loss_sum, n_valid = self._val_step(self.state, mixture, sources, mask)
+                total += float(loss_sum)
+                count += float(n_valid)
         return total / max(count, 1)
 
     def train(self) -> Dict[str, Any]:
@@ -296,8 +345,19 @@ class Solver:
                 if self.writer:
                     self.writer.add_scalar("val/epoch_loss", val_loss, epoch)
 
+            # best-checkpoint / early-stop bookkeeping runs only on epochs
+            # where a validation pass happened — the reference gates is_best
+            # and the patience counter the same way (src/solver.py:370-377);
+            # comparing train loss against a best score made of val losses
+            # would skew both.
             score = val_loss if val_loss is not None else train_loss
-            is_best = self._is_best(metric_name, score)
+            is_best = False
+            if val_loss is not None:
+                is_best = self._is_best(metric_name, val_loss)
+                if is_best:
+                    self.early_stop_count = 0
+                else:
+                    self.early_stop_count += 1
             if (epoch + 1) % save_interval == 0 or is_best:
                 ckpt.save_checkpoint(
                     self.checkpoint_dir,
@@ -308,14 +368,11 @@ class Solver:
                     self.scores,
                     is_best,
                 )
-            if is_best:
-                self.early_stop_count = 0
-            else:
-                self.early_stop_count += 1
+            best = self.scores.get("best_score")
             print(
                 f"epoch {epoch}: train_loss={train_loss:.5f}"
                 + (f" val_loss={val_loss:.5f}" if val_loss is not None else "")
-                + f" best={self.scores['best_score']:.5f}"
+                + (f" best={best:.5f}" if best is not None else "")
                 + f" ({time.time() - t0:.1f}s)"
             )
             if self.early_stop_count > patience:
@@ -373,10 +430,38 @@ class Solver:
             for key in ("sisdr", "stoi"):
                 agg["enhanced"][key].append(m_enh[key])
                 agg["mixture"][key].append(m_mix[key])
+
+            # Clarity HA scoring path (reference solver.py:610-616): resample
+            # to the HA rate, amplify per scene listener, HASPI/HASQI. The
+            # metric values are "gated" without the external clarity package;
+            # the amplification chain runs either way.
+            ha_scores = {}
+            if (self.clarity_scorer is not None
+                    and str(self.config.dset.name).lower() == "clarity"):
+                ha_scores = self.compute_metric_clarity(
+                    mixture_np[0], enhanced_np[0], clean[0], item["name"]
+                )
+                for key in ("haspi", "hasqi"):
+                    for side in ("enhance", "mixture"):
+                        value = ha_scores.get(f"{key}_{side}")
+                        if value is not None:
+                            agg_side = "enhanced" if side == "enhance" else "mixture"
+                            agg[agg_side].setdefault(key, []).append(value)
+
+            def _ha_col(col):
+                if self.clarity_scorer is None:
+                    return None
+                value = ha_scores.get(col)
+                return "gated" if value is None else value
+
             results.add_result(
                 item["name"],
                 sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
                 stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
+                haspi_enhance=_ha_col("haspi_enhance"),
+                haspi_mixture=_ha_col("haspi_mixture"),
+                hasqi_enhance=_ha_col("hasqi_enhance"),
+                hasqi_mixture=_ha_col("hasqi_mixture"),
             )
             if step < int(cfg.get("num_show", 0)):
                 self.spec_audio_visualization(
@@ -400,37 +485,18 @@ class Solver:
         return summary
 
     def compute_metric_clarity(self, mixture: np.ndarray, enhanced: np.ndarray,
-                               name: str, listener: Optional[dict] = None):
-        """Clarity hearing-aid scoring hook (reference: solver.py:723-746).
+                               clean: np.ndarray, name: str) -> Dict[str, Any]:
+        """Clarity hearing-aid scoring (reference: solver.py:723-746).
 
-        Resamples both signals to the HA chain's rate (44.1 kHz) and applies
-        the NAL-R + compressor chain. HASPI/HASQI themselves require the
-        external `clarity` package — gated exactly like the reference gates
-        `evaluate_clarity` (solver.py:82-89); returns the amplified signals
-        plus scores (None when the package is absent).
+        Resamples to the HA chain's rate, amplifies enhanced AND mixture
+        through each scene listener's NAL-R + compressor chain, and returns
+        ``{haspi,hasqi}_{enhance,mixture}`` means. The HASPI/HASQI metric
+        values are None when the external ``clarity`` package is absent —
+        the same gate as the reference's ``evaluate_clarity`` import
+        (solver.py:82-89) — but the amplification path runs regardless.
         """
-        from speech_enhancement_tpu.ha import NALR, Compressor, amplify
-        from speech_enhancement_tpu.ops.resample import resample_frac
-
-        ha_fs = 44100
-        sr = int(self.config.dset.sample_rate)
-        enhanced_rs = resample_frac(jnp.asarray(enhanced), sr, ha_fs)
-        mixture_rs = resample_frac(jnp.asarray(mixture), sr, ha_fs)
-
-        scores = {"haspi": None, "hasqi": None}
-        if listener is not None:
-            enhancer = NALR(nfir=220, fs=ha_fs)
-            compressor = Compressor(fs=ha_fs)
-            enhanced_rs = amplify(enhanced_rs[None, None], enhancer, compressor,
-                                  listener)[0, 0]
-            try:  # optional external clarity package (same gate as reference)
-                from clarity.evaluator.haspi import haspi_v2_be  # type: ignore
-
-                scores["haspi"] = float(haspi_v2_be(
-                    np.asarray(mixture_rs), np.asarray(enhanced_rs), ha_fs))
-            except ImportError:
-                pass
-        return np.asarray(enhanced_rs), np.asarray(mixture_rs), scores
+        assert self.clarity_scorer is not None, "config.ha not set"
+        return self.clarity_scorer.score(clean, mixture, enhanced, name)
 
     # ---------------------------------------------------------- observability
     def spec_audio_visualization(

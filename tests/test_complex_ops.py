@@ -113,3 +113,60 @@ def test_stacked_cbn_matches_pair_cbn(rng):
     s2 = stacked.apply(vs2, jnp.concatenate([xr, xi], axis=-1), use_running_average=True)
     np.testing.assert_allclose(np.asarray(s2[..., :6]), np.asarray(pr2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(s2[..., 6:]), np.asarray(pi2), atol=2e-5)
+
+
+def test_folded_cbn_matches_centered(rng):
+    # fold=True evaluates the same whitening+affine via per-channel folded
+    # coefficients and one-pass moments; in f32 the two formulations must
+    # agree tightly (train stats AND running-average paths).
+    from speech_enhancement_tpu.ops.complex_ops import ComplexBatchNorm
+
+    x = (
+        jnp.asarray(rng.standard_normal((4, 6, 10, 8)).astype(np.float32)) * 1.7 + 0.4,
+        jnp.asarray(rng.standard_normal((4, 6, 10, 8)).astype(np.float32)) * 0.6 - 0.2,
+    )
+    ref_mod = ComplexBatchNorm(fold=False)
+    fold_mod = ComplexBatchNorm(fold=True)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+
+    (ref_r, ref_i), ref_stats = ref_mod.apply(
+        variables, x, use_running_average=False, mutable=["batch_stats"]
+    )
+    (fr, fi), fold_stats = fold_mod.apply(
+        variables, x, use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(ref_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(ref_i), atol=2e-5)
+    for key in ("mean_r", "vrr", "vri"):
+        np.testing.assert_allclose(
+            np.asarray(fold_stats["batch_stats"][key]),
+            np.asarray(ref_stats["batch_stats"][key]), atol=2e-5,
+        )
+
+    # inference path with shared running stats
+    vars_ra = {"params": variables["params"], **ref_stats}
+    ra_ref = ref_mod.apply(vars_ra, x, use_running_average=True)
+    ra_fold = fold_mod.apply(vars_ra, x, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(ra_fold[0]), np.asarray(ra_ref[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ra_fold[1]), np.asarray(ra_ref[1]), atol=2e-5)
+
+
+def test_dccrn_fold_remat_match_baseline(rng):
+    # cbn_fold / remat are pure performance knobs: same forward outputs
+    # (f32, same params) as the baseline DCCRN within float tolerance.
+    from speech_enhancement_tpu.models.dccrn import DCCRN
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 4000)).astype(np.float32) * 0.1)
+    base = DCCRN(kernel_num=(8, 16), rnn_layers=1, rnn_units=16)
+    variables = base.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    out_base, _ = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    for knobs in ({"cbn_fold": True}, {"remat": True},
+                  {"cbn_fold": True, "remat": True}):
+        variant = DCCRN(kernel_num=(8, 16), rnn_layers=1, rnn_units=16, **knobs)
+        out_v, _ = variant.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(out_v), np.asarray(out_base), atol=3e-5,
+            err_msg=f"DCCRN variant {knobs} diverged from baseline",
+        )

