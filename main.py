@@ -14,13 +14,15 @@ def cli():
     parser.add_argument("--save", action="store_true", help="write enhanced wavs at test")
     parser.add_argument("--dev", action="store_true",
                         help="evaluate on the Clarity dev scenes (reference train.py:20)")
+    parser.add_argument("--device", default=None,
+                        help="pin the JAX platform (e.g. cpu, tpu); default = auto")
     parser.add_argument("--run-dir", default=None)
     args = parser.parse_args()
 
     from speech_enhancement_tpu.main import main
 
     main(args.config, mode=args.mode, save=args.save, dev=args.dev,
-         run_dir=args.run_dir)
+         device=args.device, run_dir=args.run_dir)
 
 
 if __name__ == "__main__":

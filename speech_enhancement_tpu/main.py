@@ -44,9 +44,16 @@ def main(
     return_solver: bool = False,
     save: bool = False,
     dev: bool = False,
+    device: Optional[str] = None,
     run_dir: Optional[str] = None,
     mesh=None,
 ):
+    if device:
+        # pin the JAX platform (reference train.py's device={'gpu','cpu'}
+        # knob, train.py:20); must run before any backend use
+        import jax
+
+        jax.config.update("jax_platforms", str(device))
     _enable_compile_cache()
     if isinstance(config, str):
         config = load_config(config)

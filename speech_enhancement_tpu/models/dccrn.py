@@ -119,17 +119,28 @@ def _block_complex_kernel(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
 
 
 class _ComplexConvBlock(nn.Module):
-    """ComplexConv2d(k=(5,2), s=(2,1), causal) + complex BN + PReLU."""
+    """ComplexConv2d(k=(5,2), s=(2,1), causal) + complex BN + PReLU.
+
+    ``layout`` selects the activation layout: "nhwc" ([B, F, T, C], channels
+    in lanes) or "nchw" ([B, C, F, T], TIME in lanes). The early DCCRN
+    layers have tiny C (8-32 per part), so NHWC wastes most of each
+    128-lane vector register/HBM tile; NCHW keeps the 600+-frame time axis
+    minor. Params are layout-independent (HWIO), so checkpoints and the
+    torch importer work for both.
+    """
 
     features: int  # per complex part
     kernel_size: int = 5
     dtype: object = None
     cbn_fold: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
-        in_ch = xr.shape[-1]
+        nchw = self.layout == "nchw"
+        ch_axis = 1 if nchw else -1
+        in_ch = xr.shape[ch_axis]
         kshape = (self.kernel_size, 2, in_ch, self.features)
         init = nn.initializers.lecun_normal()
         wr = self.param("wr", init, kshape)
@@ -137,18 +148,27 @@ class _ComplexConvBlock(nn.Module):
         br = self.param("br", nn.initializers.zeros, (self.features,))
         bi = self.param("bi", nn.initializers.zeros, (self.features,))
         kernel = _block_complex_kernel(wr, wi)
-        x2 = jnp.concatenate([xr, xi], axis=-1)
+        x2 = jnp.concatenate([xr, xi], axis=ch_axis)
         if self.dtype is not None:
             x2 = x2.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
         pad = ((2, 2), (1, 0))  # freq symmetric, time causal (dccrn.py:358-361)
-        y2 = jax.lax.conv_general_dilated(
-            x2, kernel, (2, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        yr = y2[..., : self.features] + br.astype(y2.dtype)
-        yi = y2[..., self.features :] + bi.astype(y2.dtype)
-        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold)(
+        if nchw:
+            y2 = jax.lax.conv_general_dilated(
+                x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), pad,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+            yr = y2[:, : self.features] + br.astype(y2.dtype)[:, None, None]
+            yi = y2[:, self.features :] + bi.astype(y2.dtype)[:, None, None]
+        else:
+            y2 = jax.lax.conv_general_dilated(
+                x2, kernel, (2, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            yr = y2[..., : self.features] + br.astype(y2.dtype)
+            yi = y2[..., self.features :] + bi.astype(y2.dtype)
+        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold,
+                                  channel_axis=ch_axis)(
             (yr, yi), use_running_average=not train
         )
         prelu = _PReLU(name="prelu")
@@ -161,11 +181,14 @@ class _ComplexDeconvBlock(nn.Module):
     last: bool = False
     dtype: object = None
     cbn_fold: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
-        in_ch = xr.shape[-1]
+        nchw = self.layout == "nchw"
+        ch_axis = 1 if nchw else -1
+        in_ch = xr.shape[ch_axis]
         kshape = (self.kernel_size, 2, in_ch, self.features)
         init = nn.initializers.lecun_normal()
         wr = self.param("wr", init, kshape)
@@ -173,24 +196,34 @@ class _ComplexDeconvBlock(nn.Module):
         br = self.param("br", nn.initializers.zeros, (self.features,))
         bi = self.param("bi", nn.initializers.zeros, (self.features,))
         kernel = _block_complex_kernel(wr, wi)
-        x2 = jnp.concatenate([xr, xi], axis=-1)
+        x2 = jnp.concatenate([xr, xi], axis=ch_axis)
         if self.dtype is not None:
             x2 = x2.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
         # torch: stride (2,1), padding (2,0), output_padding (1,0) in freq;
         # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
-        y2 = jax.lax.conv_transpose(
-            x2, kernel, (2, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
         # VALID transpose gives (in-1)*2 + 5 freq rows; torch's padding=2 /
         # output_padding=1 crops 2 left and (2 - 1) right.
-        y2 = y2[:, 2:-1, 1:, :]
-        yr = y2[..., : self.features] + br.astype(y2.dtype)
-        yi = y2[..., self.features :] + bi.astype(y2.dtype)
+        if nchw:
+            y2 = jax.lax.conv_transpose(
+                x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+            y2 = y2[:, :, 2:-1, 1:]
+            yr = y2[:, : self.features] + br.astype(y2.dtype)[:, None, None]
+            yi = y2[:, self.features :] + bi.astype(y2.dtype)[:, None, None]
+        else:
+            y2 = jax.lax.conv_transpose(
+                x2, kernel, (2, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y2 = y2[:, 2:-1, 1:, :]
+            yr = y2[..., : self.features] + br.astype(y2.dtype)
+            yi = y2[..., self.features :] + bi.astype(y2.dtype)
         if self.last:
             return yr, yi
-        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold)(
+        yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold,
+                                  channel_axis=ch_axis)(
             (yr, yi), use_running_average=not train
         )
         prelu = _PReLU(name="prelu")
@@ -227,6 +260,9 @@ class DCCRN(nn.Module):
     # fused Pallas framing+basis-matmul front-end (inference path only —
     # Pallas kernels carry no VJP here; training keeps the matmul ConvSTFT)
     use_pallas_stft: bool = False
+    # activation layout: "nhwc" (channels in lanes) or "nchw" (time in
+    # lanes). Params are identical either way; see _ComplexConvBlock.
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -244,9 +280,17 @@ class DCCRN(nn.Module):
         spec_mags = jnp.sqrt(real**2 + imag**2 + 1e-8)
         spec_phase = jnp.arctan2(imag, real)
 
-        # drop DC bin; channels-last [B, F-1, T', C] per complex part
-        xr = real[:, 1:, :, None]
-        xi = imag[:, 1:, :, None]
+        # drop DC bin; per complex part: layout "nhwc" [B, F-1, T', C]
+        # (channels in lanes) or "nchw" [B, C, F-1, T'] (time in lanes —
+        # avoids the 128-lane padding waste of the small-C early layers)
+        nchw = self.layout == "nchw"
+        if nchw:
+            xr = real[:, None, 1:, :]
+            xi = imag[:, None, 1:, :]
+        else:
+            xr = real[:, 1:, :, None]
+            xi = imag[:, 1:, :, None]
+        ch_axis = 1 if nchw else -1
 
         compute_dtype = jnp.dtype(self.dtype)
         enc_block = _ComplexConvBlock
@@ -261,14 +305,23 @@ class DCCRN(nn.Module):
         for idx, features in enumerate(self.kernel_num):
             xr, xi = enc_block(
                 features // 2, self.kernel_size, dtype=compute_dtype,
-                cbn_fold=self.cbn_fold, name=f"enc_{idx}"
+                cbn_fold=self.cbn_fold, layout=self.layout, name=f"enc_{idx}"
             )((xr, xi), train)
             skips.append((xr, xi))
 
-        batch, dims, frames, channels = xr.shape
+        if nchw:
+            batch, channels, dims, frames = xr.shape
+        else:
+            batch, dims, frames, channels = xr.shape
         if self.use_clstm:
-            r_in = xr.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
-            i_in = xi.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
+            if nchw:
+                # [B, C, D, T] -> [B, T, C*D] (C outer, D inner — the
+                # reference flattening order, dccrn.py:170-182)
+                r_in = xr.transpose(0, 3, 1, 2).reshape(batch, frames, channels * dims)
+                i_in = xi.transpose(0, 3, 1, 2).reshape(batch, frames, channels * dims)
+            else:
+                r_in = xr.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
+                i_in = xi.transpose(0, 2, 3, 1).reshape(batch, frames, channels * dims)
             for idx in range(self.rnn_layers):
                 last = idx == self.rnn_layers - 1
                 r_in, i_in = ComplexLSTM(
@@ -277,8 +330,12 @@ class DCCRN(nn.Module):
                     dtype=compute_dtype,
                     name=f"clstm_{idx}",
                 )(r_in, i_in)
-            xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
-            xi = i_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
+            if nchw:
+                xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 2, 3, 1)
+                xi = i_in.reshape(batch, frames, channels, dims).transpose(0, 2, 3, 1)
+            else:
+                xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
+                xi = i_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
         else:
             from speech_enhancement_tpu.ops.rnn import LSTMLayer
 
@@ -294,18 +351,21 @@ class DCCRN(nn.Module):
         dec_channels = list(self.kernel_num[::-1][1:]) + [2]
         for idx, features in enumerate(dec_channels):
             skip_r, skip_i = skips[len(skips) - 1 - idx]
-            xr = jnp.concatenate([xr, skip_r], axis=-1)
-            xi = jnp.concatenate([xi, skip_i], axis=-1)
+            xr = jnp.concatenate([xr, skip_r], axis=ch_axis)
+            xi = jnp.concatenate([xi, skip_i], axis=ch_axis)
             xr, xi = dec_block(
                 features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
-                dtype=compute_dtype, cbn_fold=self.cbn_fold, name=f"dec_{idx}",
+                dtype=compute_dtype, cbn_fold=self.cbn_fold, layout=self.layout,
+                name=f"dec_{idx}",
             )((xr, xi), train)
 
         # mask head and synthesis in float32 regardless of compute dtype
         xr = xr.astype(jnp.float32)
         xi = xi.astype(jnp.float32)
-        mask_real = jnp.pad(xr[..., 0], ((0, 0), (1, 0), (0, 0)))  # DC bin back
-        mask_imag = jnp.pad(xi[..., 0], ((0, 0), (1, 0), (0, 0)))
+        mask_r2 = xr[:, 0] if nchw else xr[..., 0]  # [B, F-1, T]
+        mask_i2 = xi[:, 0] if nchw else xi[..., 0]
+        mask_real = jnp.pad(mask_r2, ((0, 0), (1, 0), (0, 0)))  # DC bin back
+        mask_imag = jnp.pad(mask_i2, ((0, 0), (1, 0), (0, 0)))
 
         if self.masking_mode == "E" and self.use_pallas_mask and not train:
             from speech_enhancement_tpu.ops.pallas.masking import apply_mask_e

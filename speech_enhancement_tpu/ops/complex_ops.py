@@ -106,6 +106,13 @@ class ComplexBatchNorm(nn.Module):
     # f32-centered formulation when activations are bf16: no f32 centered
     # intermediates exist, and the apply is one fused multiply-add pass.
     fold: bool = False
+    # which axis carries channels (-1 for NHWC activations, 1 for NCHW)
+    channel_axis: int = -1
+
+    def _bshape(self, ndim: int) -> tuple:
+        """Broadcast shape for per-channel vectors at ``channel_axis``."""
+        axis = self.channel_axis % ndim
+        return tuple(-1 if d == axis else 1 for d in range(ndim))
 
     @nn.compact
     def __call__(self, x: ComplexPair, use_running_average: bool | None = None) -> ComplexPair:
@@ -113,8 +120,9 @@ class ComplexBatchNorm(nn.Module):
         use_ra = (
             self.use_running_average if use_running_average is None else use_running_average
         )
-        channels = xr.shape[-1]
-        reduce_axes = tuple(range(xr.ndim - 1))
+        axis = self.channel_axis % xr.ndim
+        channels = xr.shape[axis]
+        reduce_axes = tuple(d for d in range(xr.ndim) if d != axis)
         if self.fold:
             return self._folded(xr, xi, use_ra, channels, reduce_axes)
 
@@ -135,17 +143,18 @@ class ComplexBatchNorm(nn.Module):
         # than this f32-centered formulation — XLA fuses this chain better.
         fr = xr.astype(jnp.float32)
         fi = xi.astype(jnp.float32)
+        bshape = self._bshape(xr.ndim)  # per-channel broadcast at channel_axis
 
         if use_ra:
             mean_r, mean_i = ra_mean_r.value, ra_mean_i.value
             vrr, vii, vri = ra_vrr.value, ra_vii.value, ra_vri.value
-            cr = fr - mean_r
-            ci = fi - mean_i
+            cr = fr - mean_r.reshape(bshape)
+            ci = fi - mean_i.reshape(bshape)
         else:
             mean_r = jnp.mean(fr, axis=reduce_axes)
             mean_i = jnp.mean(fi, axis=reduce_axes)
-            cr = fr - mean_r
-            ci = fi - mean_i
+            cr = fr - mean_r.reshape(bshape)
+            ci = fi - mean_i.reshape(bshape)
             vrr = jnp.mean(cr * cr, axis=reduce_axes)
             vii = jnp.mean(ci * ci, axis=reduce_axes)
             vri = jnp.mean(cr * ci, axis=reduce_axes)
@@ -168,10 +177,12 @@ class ComplexBatchNorm(nn.Module):
         wii = (vrr + s) * inv_st
         wri = -vri * inv_st
 
-        yr = wrr * cr + wri * ci
-        yi = wri * cr + wii * ci
-        zr = gamma_rr * yr + gamma_ri * yi + beta_r
-        zi = gamma_ri * yr + gamma_ii * yi + beta_i
+        yr = wrr.reshape(bshape) * cr + wri.reshape(bshape) * ci
+        yi = wri.reshape(bshape) * cr + wii.reshape(bshape) * ci
+        zr = (gamma_rr.reshape(bshape) * yr + gamma_ri.reshape(bshape) * yi
+              + beta_r.reshape(bshape))
+        zi = (gamma_ri.reshape(bshape) * yr + gamma_ii.reshape(bshape) * yi
+              + beta_i.reshape(bshape))
         return zr.astype(xr.dtype), zi.astype(xi.dtype)
 
     def _folded(self, xr, xi, use_ra, channels, reduce_axes):
@@ -237,8 +248,13 @@ class ComplexBatchNorm(nn.Module):
         ci0 = beta_i - (air * mean_r + aii * mean_i)
 
         dt = xr.dtype
-        zr = arr.astype(dt) * xr + ari.astype(dt) * xi + cr0.astype(dt)
-        zi = air.astype(dt) * xr + aii.astype(dt) * xi + ci0.astype(dt)
+        bshape = self._bshape(xr.ndim)
+        zr = (arr.astype(dt).reshape(bshape) * xr
+              + ari.astype(dt).reshape(bshape) * xi
+              + cr0.astype(dt).reshape(bshape))
+        zi = (air.astype(dt).reshape(bshape) * xr
+              + aii.astype(dt).reshape(bshape) * xi
+              + ci0.astype(dt).reshape(bshape))
         return zr, zi
 
 

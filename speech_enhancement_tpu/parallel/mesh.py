@@ -64,3 +64,20 @@ def shard_train_step(step_fn, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_multi_step(multi_fn, mesh: Mesh):
+    """SPMD wrap of the N-steps-per-dispatch scan (Solver._build_multi_step).
+
+    Batches arrive stacked [N, B, ...]; the batch dim (1) is sharded over
+    ``data``, the scan dim replicated, per-step losses/grad-norms [N]
+    returned replicated (they are pmean'd inside the step).
+    """
+    sharded = shard_map(
+        partial(multi_fn, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, "data"), P(None, "data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -170,3 +170,28 @@ def test_dccrn_fold_remat_match_baseline(rng):
             np.asarray(out_v), np.asarray(out_base), atol=3e-5,
             err_msg=f"DCCRN variant {knobs} diverged from baseline",
         )
+
+
+def test_dccrn_nchw_layout_matches_nhwc(rng):
+    # layout="nchw" (time-in-lanes) is a pure performance knob: identical
+    # params and outputs to the default channels-last layout.
+    import jax
+
+    from speech_enhancement_tpu.models.dccrn import DCCRN
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 4000)).astype(np.float32) * 0.1)
+    base = DCCRN(kernel_num=(8, 16), rnn_layers=1, rnn_units=16)
+    variables = base.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    nchw = DCCRN(kernel_num=(8, 16), rnn_layers=1, rnn_units=16, layout="nchw")
+    out_a, _ = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    out_b, _ = nchw.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+    shapes_a = jax.tree_util.tree_map(lambda t: t.shape, variables["params"])
+    shapes_b = jax.tree_util.tree_map(
+        lambda t: t.shape,
+        nchw.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, x)["params"],
+    )
+    assert shapes_a == shapes_b

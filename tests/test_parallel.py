@@ -85,3 +85,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_data_parallel_multi_step(vbd_root, tmp_path):
+    # steps_per_call > 1 composes with the shard_map data-parallel path
+    # (scan dim replicated, batch dim sharded).
+    import numpy as np
+
+    from speech_enhancement_tpu.main import main as main_fn
+
+    cfg = _config(vbd_root, str(tmp_path), data_parallel=8)
+    cfg.solver.steps_per_call = 2
+    cfg.solver.all_steps = False
+    cfg.solver.total_steps = 4
+    solver = main_fn(cfg, mode="train", return_solver=True)
+    assert np.isfinite(solver.scores["train_loss"][0])

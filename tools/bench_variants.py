@@ -35,6 +35,7 @@ def run_variant(name: str) -> float:
         dtype="float32" if "f32" in flags else "bfloat16",
         cbn_fold="fold" in flags,
         remat="remat" in flags,
+        layout="nchw" if "nchw" in flags else "nhwc",
     )
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
@@ -68,18 +69,43 @@ def run_variant(name: str) -> float:
             loss,
         )
 
+    n_scan = 8 if "scan8" in flags else 1
+    if n_scan > 1:
+        # N steps per dispatch (Solver steps_per_call): amortizes the ~30 ms
+        # relay dispatch overhead. Same math as N single steps.
+        mixtures = jnp.stack([mixture] * n_scan)
+        targets = jnp.stack([target] * n_scan)
+
+        @jax.jit
+        def train_scan(state, rng, mixtures, targets):
+            def body(carry, batch):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, loss = train_step_core(st, sub, batch[0], batch[1])
+                return (st, key), loss
+
+            (state, _), losses = jax.lax.scan(body, (state, rng), (mixtures, targets))
+            return state, losses
+
+        train_step_core = train_step.__wrapped__  # uncompiled core fn
+        dispatch = lambda st, rng: train_scan(st, rng, mixtures, targets)  # noqa: E731
+    else:
+        dispatch = lambda st, rng: train_step(st, rng, mixture, target)  # noqa: E731
+
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
-        state, loss = train_step(state, rng, mixture, target)
-        float(loss)
+        state, loss = dispatch(state, rng)
+        lv = float(jnp.ravel(loss)[-1])
     times = []
-    for _ in range(10):
+    for it in range(10):
         t0 = time.perf_counter()
-        state, loss = train_step(state, rng, mixture, target)
-        lv = float(loss)
+        state, loss = dispatch(state, rng)
+        lv = float(jnp.ravel(loss)[-1])
         times.append(time.perf_counter() - t0)
+        if n_scan > 1 and not bool(jnp.all(jnp.isfinite(loss))):
+            print(f"  non-finite at dispatch {it}: {loss}", flush=True)
     times.sort()
-    dt = times[len(times) // 2]
+    dt = times[len(times) // 2] / n_scan
     print(f"{name:24s} {dt*1000:8.1f} ms/step  {16/dt:7.1f} utt/s  loss={lv:.5f}",
           flush=True)
     return dt
