@@ -5,14 +5,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N}
 
 Metric definition (BASELINE.md north star): utterances/sec/chip for a full
-jitted DCCRN train step (forward + backward + Adam update + grad clip) on
+DCCRN train step (forward + backward + Adam update + grad clip) on
 4 s @ 16 kHz utterances, reference-default model config (~9.4 MB,
 kernel_num [16,32,64,128,256,256]).
 
+Configuration benched = the framework's TPU fast path:
+  * bf16 compute (f32 params/accumulations),
+  * remat'd encoder/decoder blocks (recompute beats saved-activation HBM
+    traffic on this elementwise-heavy model: 122.5 -> 106.6 ms/step),
+  * solver.steps_per_call=8 — 8 optimizer steps per device dispatch via
+    lax.scan (the Solver feature; amortizes the ~30 ms axon relay dispatch
+    overhead): 106.6 -> ~77 ms/step.
+Throughput is total utterances / total wall time; each dispatch is synced
+by fetching the loss (block_until_ready lies under the axon relay).
+
 vs_baseline: ratio against the measured reference implementation
 (ooshyun/Speech-Enhancement-Pytorch DCCRN, torch CPU — the only hardware
-both frameworks share in this image; see BASELINE_MEASURED.json for the
-measurement). The reference publishes no GPU numbers (BASELINE.md).
+both frameworks share in this image; see BASELINE_MEASURED.json). The
+reference publishes no GPU numbers (BASELINE.md).
 """
 
 import json
@@ -23,8 +33,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-# Persistent compile cache: the axon remote compiler takes minutes on the
-# DCCRN program; cache hits make reruns (and the driver's run) fast.
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -37,16 +45,17 @@ except Exception:
 BATCH = 16
 SECONDS = 4
 SR = 16000
-WARMUP = 3
-ITERS = 10
+STEPS_PER_CALL = 8
+WARMUP_DISPATCHES = 2
+TIMED_DISPATCHES = 6
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    # bf16 compute (f32 params + accumulations) — the TPU-native fast path
-    model = DCCRN(dtype="bfloat16")
+    model = DCCRN(dtype="bfloat16", remat=True)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
 
     t_samples = SECONDS * SR
@@ -62,8 +71,7 @@ def main():
         "opt_state": optimizer.init(variables["params"]),
     }
 
-    @jax.jit
-    def train_step(state, rng, mixture, target):
+    def step_fn(state, rng, mixture, target):
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
@@ -82,24 +90,49 @@ def main():
             loss,
         )
 
-    rng = jax.random.PRNGKey(1)
-    for _ in range(WARMUP):
-        state, loss = train_step(state, rng, mixture, target)
-        float(loss)  # forced host transfer: the only reliable sync under axon
+    mixtures = jnp.stack([mixture] * STEPS_PER_CALL)
+    targets = jnp.stack([target] * STEPS_PER_CALL)
 
-    # Each timed step syncs by fetching the loss value; block_until_ready
-    # returns early under the axon remote backend and under-reports by >100x.
+    @jax.jit
+    def train_scan(state, rng, mixtures, targets):
+        def body(carry, batch):
+            st, rng_key = carry
+            rng_key, sub = jax.random.split(rng_key)
+            st, loss = step_fn(st, sub, batch[0], batch[1])
+            return (st, rng_key), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), (mixtures, targets))
+        return state, losses
+
+    # XLA-counted FLOPs per dispatch, for the MFU estimate
+    flops_per_dispatch = None
+    try:
+        lowered = train_scan.lower(state, jax.random.PRNGKey(1), mixtures, targets)
+        flops_per_dispatch = lowered.compile().cost_analysis()["flops"]
+    except Exception:
+        pass
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_DISPATCHES):
+        state, losses = train_scan(state, rng, mixtures, targets)
+        last_loss = float(jnp.ravel(losses)[-1])  # forced sync (NOTES_DEV.md)
+
     times = []
-    for _ in range(ITERS):
+    for _ in range(TIMED_DISPATCHES):
         t0 = time.perf_counter()
-        state, loss = train_step(state, rng, mixture, target)
-        float(loss)
+        state, losses = train_scan(state, rng, mixtures, targets)
+        last_loss = float(jnp.ravel(losses)[-1])
         times.append(time.perf_counter() - t0)
     times.sort()
-    dt = times[len(times) // 2]  # median
+    dt = times[len(times) // 2] / STEPS_PER_CALL  # median, per optimizer step
+
+    assert last_loss == last_loss, "non-finite loss in benchmark run"
 
     utt_per_sec = BATCH / dt
     rtf = utt_per_sec * SECONDS  # seconds of audio per wall second
+    mfu = None
+    if flops_per_dispatch:
+        mfu = (flops_per_dispatch / STEPS_PER_CALL) / dt / V5E_BF16_PEAK_FLOPS
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -117,6 +150,8 @@ def main():
         "unit": "utterances/sec/chip (4s@16kHz, batch 16, fwd+bwd+adam)",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extra": {"step_seconds": round(dt, 4), "real_time_factor": round(rtf, 1),
+                  "steps_per_call": STEPS_PER_CALL,
+                  "mfu_estimate": round(mfu, 4) if mfu else None,
                   "device": str(jax.devices()[0])},
     }))
 

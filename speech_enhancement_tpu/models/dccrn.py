@@ -277,8 +277,8 @@ class DCCRN(nn.Module):
                           method=stft_method)
         real = specs[:, :n_freq]
         imag = specs[:, n_freq:]
-        spec_mags = jnp.sqrt(real**2 + imag**2 + 1e-8)
-        spec_phase = jnp.arctan2(imag, real)
+        # (the reference materializes spec_mags/spec_phase here,
+        # dccrn.py:147-152; the trig-free mask head below needs neither)
 
         # drop DC bin; per complex part: layout "nhwc" [B, F-1, T', C]
         # (channels in lanes) or "nchw" [B, C, F-1, T'] (time in lanes —
@@ -374,15 +374,18 @@ class DCCRN(nn.Module):
             out_real, out_imag = apply_mask_e(real, imag, mask_real, mask_imag,
                                               interpret=interpret)
         elif self.masking_mode == "E":
-            mask_mags_raw = jnp.sqrt(mask_real**2 + mask_imag**2)
-            real_phase = mask_real / (mask_mags_raw + 1e-8)
-            imag_phase = mask_imag / (mask_mags_raw + 1e-8)
-            mask_phase = jnp.arctan2(imag_phase, real_phase)
-            mask_mags = jnp.tanh(mask_mags_raw)
-            est_mags = mask_mags * spec_mags
-            est_phase = spec_phase + mask_phase
-            out_real = est_mags * jnp.cos(est_phase)
-            out_imag = est_mags * jnp.sin(est_phase)
+            # Trig-free identity for tanh(|M|)*|X| at phase(X)+phase(M)
+            # (reference dccrn.py:203-217 computes it via arctan2/cos/sin):
+            #   out = tanh(|M|) / (|M| + eps) * (X * M)      (complex mult)
+            # Same math to fp rounding, but pole-free: the reference
+            # composition has NaN GRADIENTS at M == 0 (d sqrt at 0, and
+            # arctan2 at the origin) — reachable in bf16 training, observed
+            # as a mid-run NaN on TPU (NOTES_DEV.md round-2 log). The same
+            # identity backs the Pallas mask kernel (ops/pallas/masking.py).
+            mask_mags_raw = jnp.sqrt(mask_real**2 + mask_imag**2 + 1e-12)
+            scale = jnp.tanh(mask_mags_raw) / (mask_mags_raw + 1e-8)
+            out_real = scale * (real * mask_real - imag * mask_imag)
+            out_imag = scale * (real * mask_imag + imag * mask_real)
         elif self.masking_mode == "C":
             out_real = real * mask_real - imag * mask_imag
             out_imag = real * mask_imag + imag * mask_real

@@ -106,7 +106,10 @@ def test_dccrn_parity_training_stats_mode(rng):
     )
     out = np.asarray(out)
     n = min(out.shape[-1], ref_out.shape[-1])
+    # 1e-3: the flax mask head uses the trig-free identity (pole-free
+    # gradients, models/dccrn.py) which differs from the reference's
+    # arctan2/cos/sin composition by O(eps / |M|) in near-zero-mask bins.
     np.testing.assert_allclose(
         out.reshape(-1, out.shape[-1])[:, :n],
-        ref_out.reshape(-1, ref_out.shape[-1])[:, :n], atol=5e-4,
+        ref_out.reshape(-1, ref_out.shape[-1])[:, :n], atol=1e-3,
     )

@@ -26,11 +26,11 @@ import jax.numpy as jnp
 import optax
 
 
-def build_step():
+def build_step(remat=False):
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    model = DCCRN(dtype="bfloat16")
+    model = DCCRN(dtype="bfloat16", remat=remat)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -80,9 +80,10 @@ def main():
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--outdir", default="/tmp/dccrn_trace")
     parser.add_argument("--top", type=int, default=40)
+    parser.add_argument("--remat", action="store_true")
     args = parser.parse_args()
 
-    train_step, state, mixture, target = build_step()
+    train_step, state, mixture, target = build_step(remat=args.remat)
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         state, loss = train_step(state, rng, mixture, target)
