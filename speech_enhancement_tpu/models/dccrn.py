@@ -38,6 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from speech_enhancement_tpu.models.types import WAV_MONO, SignalSpec
 from speech_enhancement_tpu.ops.complex_ops import ComplexBatchNorm
@@ -118,15 +119,28 @@ def _block_complex_kernel(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=2)
 
 
+def _split_parts(x2: jnp.ndarray, ch_axis: int):
+    """Stacked [.., 2C, ..] activation -> (real, imag) halves (views)."""
+    n = x2.shape[ch_axis] // 2
+    if ch_axis == 1:
+        return x2[:, :n], x2[:, n:]
+    return x2[..., :n], x2[..., n:]
+
+
 class _ComplexConvBlock(nn.Module):
     """ComplexConv2d(k=(5,2), s=(2,1), causal) + complex BN + PReLU.
 
-    ``layout`` selects the activation layout: "nhwc" ([B, F, T, C], channels
-    in lanes) or "nchw" ([B, C, F, T], TIME in lanes). The early DCCRN
-    layers have tiny C (8-32 per part), so NHWC wastes most of each
-    128-lane vector register/HBM tile; NCHW keeps the 600+-frame time axis
-    minor. Params are layout-independent (HWIO), so checkpoints and the
-    torch importer work for both.
+    Activations flow through the model STACKED, [.., 2C] with the real-part
+    channels first (the exact input/output order of the block-matrix
+    kernel): blocks take and return one tensor, so XLA never materializes
+    the per-part slice + re-concatenate pair at every block boundary that
+    a (real, imag) tuple interface costs (measured ~15 ms/step of pure
+    copies on the remat fast path, NOTES_DEV.md round-2 log).
+
+    ``layout`` selects the activation layout: "nhwc" ([B, F, T, 2C],
+    channels in lanes) or "nchw" ([B, 2C, F, T], TIME in lanes). Params are
+    layout-independent (HWIO), so checkpoints and the torch importer work
+    for both.
     """
 
     features: int  # per complex part
@@ -136,11 +150,10 @@ class _ComplexConvBlock(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        xr, xi = x
+    def __call__(self, x2, train: bool):
         nchw = self.layout == "nchw"
         ch_axis = 1 if nchw else -1
-        in_ch = xr.shape[ch_axis]
+        in_ch = x2.shape[ch_axis] // 2
         kshape = (self.kernel_size, 2, in_ch, self.features)
         init = nn.initializers.lecun_normal()
         wr = self.param("wr", init, kshape)
@@ -148,7 +161,7 @@ class _ComplexConvBlock(nn.Module):
         br = self.param("br", nn.initializers.zeros, (self.features,))
         bi = self.param("bi", nn.initializers.zeros, (self.features,))
         kernel = _block_complex_kernel(wr, wi)
-        x2 = jnp.concatenate([xr, xi], axis=ch_axis)
+        b2 = jnp.concatenate([br, bi])
         if self.dtype is not None:
             x2 = x2.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -158,21 +171,19 @@ class _ComplexConvBlock(nn.Module):
                 x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), pad,
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
             )
-            yr = y2[:, : self.features] + br.astype(y2.dtype)[:, None, None]
-            yi = y2[:, self.features :] + bi.astype(y2.dtype)[:, None, None]
+            y2 = y2 + b2.astype(y2.dtype)[:, None, None]
         else:
             y2 = jax.lax.conv_general_dilated(
                 x2, kernel, (2, 1), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            yr = y2[..., : self.features] + br.astype(y2.dtype)
-            yi = y2[..., self.features :] + bi.astype(y2.dtype)
+            y2 = y2 + b2.astype(y2.dtype)
+        y2 = checkpoint_name(y2, "conv_out")
         yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold,
                                   channel_axis=ch_axis)(
-            (yr, yi), use_running_average=not train
+            _split_parts(y2, ch_axis), use_running_average=not train
         )
-        prelu = _PReLU(name="prelu")
-        return prelu(yr), prelu(yi)
+        return _PReLU(name="prelu")(jnp.concatenate([yr, yi], axis=ch_axis))
 
 
 class _ComplexDeconvBlock(nn.Module):
@@ -184,11 +195,10 @@ class _ComplexDeconvBlock(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        xr, xi = x
+    def __call__(self, x2, train: bool):
         nchw = self.layout == "nchw"
         ch_axis = 1 if nchw else -1
-        in_ch = xr.shape[ch_axis]
+        in_ch = x2.shape[ch_axis] // 2
         kshape = (self.kernel_size, 2, in_ch, self.features)
         init = nn.initializers.lecun_normal()
         wr = self.param("wr", init, kshape)
@@ -196,7 +206,7 @@ class _ComplexDeconvBlock(nn.Module):
         br = self.param("br", nn.initializers.zeros, (self.features,))
         bi = self.param("bi", nn.initializers.zeros, (self.features,))
         kernel = _block_complex_kernel(wr, wi)
-        x2 = jnp.concatenate([xr, xi], axis=ch_axis)
+        b2 = jnp.concatenate([br, bi])
         if self.dtype is not None:
             x2 = x2.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -210,24 +220,22 @@ class _ComplexDeconvBlock(nn.Module):
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
             )
             y2 = y2[:, :, 2:-1, 1:]
-            yr = y2[:, : self.features] + br.astype(y2.dtype)[:, None, None]
-            yi = y2[:, self.features :] + bi.astype(y2.dtype)[:, None, None]
+            y2 = y2 + b2.astype(y2.dtype)[:, None, None]
         else:
             y2 = jax.lax.conv_transpose(
                 x2, kernel, (2, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y2 = y2[:, 2:-1, 1:, :]
-            yr = y2[..., : self.features] + br.astype(y2.dtype)
-            yi = y2[..., self.features :] + bi.astype(y2.dtype)
+            y2 = y2 + b2.astype(y2.dtype)
+        y2 = checkpoint_name(y2, "conv_out")
         if self.last:
-            return yr, yi
+            return y2
         yr, yi = ComplexBatchNorm(name="cbn", fold=self.cbn_fold,
                                   channel_axis=ch_axis)(
-            (yr, yi), use_running_average=not train
+            _split_parts(y2, ch_axis), use_running_average=not train
         )
-        prelu = _PReLU(name="prelu")
-        return prelu(yr), prelu(yi)
+        return _PReLU(name="prelu")(jnp.concatenate([yr, yi], axis=ch_axis))
 
 
 class DCCRN(nn.Module):
@@ -257,6 +265,11 @@ class DCCRN(nn.Module):
     # rematerialize encoder/decoder blocks in the backward pass: trades
     # (cheap, VPU) recompute for HBM activation traffic
     remat: bool = False
+    # named-saves policy for remat: comma-separated checkpoint_name tags to
+    # SAVE instead of recompute (e.g. "conv_out,cbn_stats" keeps the conv
+    # outputs + tiny per-channel CBN stat vectors, so the backward recompute
+    # skips the convs and the big stat reductions). Empty = save nothing.
+    remat_policy: str = ""
     # fused Pallas framing+basis-matmul front-end (inference path only —
     # Pallas kernels carry no VJP here; training keeps the matmul ConvSTFT)
     use_pallas_stft: bool = False
@@ -280,16 +293,14 @@ class DCCRN(nn.Module):
         # (the reference materializes spec_mags/spec_phase here,
         # dccrn.py:147-152; the trig-free mask head below needs neither)
 
-        # drop DC bin; per complex part: layout "nhwc" [B, F-1, T', C]
-        # (channels in lanes) or "nchw" [B, C, F-1, T'] (time in lanes —
-        # avoids the 128-lane padding waste of the small-C early layers)
+        # drop DC bin; stacked activation (real-part channels, then imag):
+        # layout "nhwc" [B, F-1, T', 2C] (channels in lanes) or "nchw"
+        # [B, 2C, F-1, T'] (time in lanes)
         nchw = self.layout == "nchw"
         if nchw:
-            xr = real[:, None, 1:, :]
-            xi = imag[:, None, 1:, :]
+            x2 = jnp.stack([real[:, 1:, :], imag[:, 1:, :]], axis=1)
         else:
-            xr = real[:, 1:, :, None]
-            xi = imag[:, 1:, :, None]
+            x2 = jnp.stack([real[:, 1:, :], imag[:, 1:, :]], axis=-1)
         ch_axis = 1 if nchw else -1
 
         compute_dtype = jnp.dtype(self.dtype)
@@ -299,21 +310,28 @@ class DCCRN(nn.Module):
             # recompute block activations in the backward pass instead of
             # saving them (jax.checkpoint): the blocks are elementwise/HBM
             # bound, so recompute is cheaper than the saved-residual traffic
-            enc_block = nn.remat(enc_block, static_argnums=(2,))
-            dec_block = nn.remat(dec_block, static_argnums=(2,))
+            kwargs = {}
+            if self.remat_policy:
+                kwargs["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    *self.remat_policy.split(",")
+                )
+            enc_block = nn.remat(enc_block, static_argnums=(2,), **kwargs)
+            dec_block = nn.remat(dec_block, static_argnums=(2,), **kwargs)
         skips = []
         for idx, features in enumerate(self.kernel_num):
-            xr, xi = enc_block(
+            x2 = enc_block(
                 features // 2, self.kernel_size, dtype=compute_dtype,
                 cbn_fold=self.cbn_fold, layout=self.layout, name=f"enc_{idx}"
-            )((xr, xi), train)
-            skips.append((xr, xi))
+            )(x2, train)
+            skips.append(x2)
 
         if nchw:
-            batch, channels, dims, frames = xr.shape
+            batch, channels2, dims, frames = x2.shape
         else:
-            batch, dims, frames, channels = xr.shape
+            batch, dims, frames, channels2 = x2.shape
+        channels = channels2 // 2  # per complex part
         if self.use_clstm:
+            xr, xi = _split_parts(x2, ch_axis)
             if nchw:
                 # [B, C, D, T] -> [B, T, C*D] (C outer, D inner — the
                 # reference flattening order, dccrn.py:170-182)
@@ -336,32 +354,49 @@ class DCCRN(nn.Module):
             else:
                 xr = r_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
                 xi = i_in.reshape(batch, frames, channels, dims).transpose(0, 3, 1, 2)
+            x2 = jnp.concatenate([xr, xi], axis=ch_axis)
         else:
             from speech_enhancement_tpu.ops.rnn import LSTMLayer
 
-            flat = jnp.concatenate([xr, xi], axis=-1)
-            flat = flat.transpose(0, 2, 3, 1).reshape(batch, frames, 2 * channels * dims)
+            # [B, T, 2C*D] with (2C outer, D inner) flattening, stacked
+            # channel order [r..., i...] — same contract as the clstm path
+            if nchw:
+                flat = x2.transpose(0, 3, 1, 2)  # [B,2C,D,T] -> [B,T,2C,D]
+            else:
+                flat = x2.transpose(0, 2, 3, 1)  # [B,D,T,2C] -> [B,T,2C,D]
+            flat = flat.reshape(batch, frames, 2 * channels * dims)
             for idx in range(self.rnn_layers):
                 flat, _ = LSTMLayer(self.rnn_units, name=f"lstm_{idx}")(flat)
             flat = nn.Dense(2 * channels * dims, name="transform")(flat)
-            flat = flat.reshape(batch, frames, 2 * channels, dims).transpose(0, 3, 1, 2)
-            xr, xi = flat[..., :channels], flat[..., channels:]
+            # same XLA TPU wgrad/transpose-folding miscompile workaround as
+            # ComplexLSTM's projection (ops/rnn.py): barrier between the
+            # Dense and the layout shuffle below
+            flat = jax.lax.optimization_barrier(flat)
+            flat = flat.reshape(batch, frames, 2 * channels, dims)
+            if nchw:
+                x2 = flat.transpose(0, 2, 3, 1)  # -> [B,2C,D,T]
+            else:
+                x2 = flat.transpose(0, 3, 1, 2)  # -> [B,D,T,2C]
 
-        # decoder with complex-cat skips, mirrored channels
+        # decoder with complex-cat skips, mirrored channels. The block
+        # kernel wants input channels ordered [all r, all i], so the skip
+        # join is ONE 4-way concat of the (r, i) halves of both tensors —
+        # not per-part concats on materialized halves.
         dec_channels = list(self.kernel_num[::-1][1:]) + [2]
         for idx, features in enumerate(dec_channels):
-            skip_r, skip_i = skips[len(skips) - 1 - idx]
-            xr = jnp.concatenate([xr, skip_r], axis=ch_axis)
-            xi = jnp.concatenate([xi, skip_i], axis=ch_axis)
-            xr, xi = dec_block(
+            skip2 = skips[len(skips) - 1 - idx]
+            xr, xi = _split_parts(x2, ch_axis)
+            skip_r, skip_i = _split_parts(skip2, ch_axis)
+            x2 = jnp.concatenate([xr, skip_r, xi, skip_i], axis=ch_axis)
+            x2 = dec_block(
                 features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
                 dtype=compute_dtype, cbn_fold=self.cbn_fold, layout=self.layout,
                 name=f"dec_{idx}",
-            )((xr, xi), train)
+            )(x2, train)
 
         # mask head and synthesis in float32 regardless of compute dtype
-        xr = xr.astype(jnp.float32)
-        xi = xi.astype(jnp.float32)
+        x2 = x2.astype(jnp.float32)
+        xr, xi = _split_parts(x2, ch_axis)
         mask_r2 = xr[:, 0] if nchw else xr[..., 0]  # [B, F-1, T]
         mask_i2 = xi[:, 0] if nchw else xi[..., 0]
         mask_real = jnp.pad(mask_r2, ((0, 0), (1, 0), (0, 0)))  # DC bin back

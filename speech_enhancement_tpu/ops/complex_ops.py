@@ -17,6 +17,7 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 ComplexPair = Tuple[jnp.ndarray, jnp.ndarray]
 
@@ -158,6 +159,16 @@ class ComplexBatchNorm(nn.Module):
             vrr = jnp.mean(cr * cr, axis=reduce_axes)
             vii = jnp.mean(ci * ci, axis=reduce_axes)
             vri = jnp.mean(cr * ci, axis=reduce_axes)
+            # tiny per-channel vectors: tagging them lets a named-saves remat
+            # policy (DCCRN remat_policy) skip re-running the big stat
+            # reductions in the backward recompute
+            mean_r = checkpoint_name(mean_r, "cbn_stats")
+            mean_i = checkpoint_name(mean_i, "cbn_stats")
+            vrr = checkpoint_name(vrr, "cbn_stats")
+            vii = checkpoint_name(vii, "cbn_stats")
+            vri = checkpoint_name(vri, "cbn_stats")
+            cr = fr - mean_r.reshape(bshape)
+            ci = fi - mean_i.reshape(bshape)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean_r.value = m * ra_mean_r.value + (1 - m) * mean_r
@@ -221,6 +232,11 @@ class ComplexBatchNorm(nn.Module):
             vrr = jnp.maximum(e_rr - mean_r * mean_r, 0.0)
             vii = jnp.maximum(e_ii - mean_i * mean_i, 0.0)
             vri = e_ri - mean_r * mean_i
+            mean_r = checkpoint_name(mean_r, "cbn_stats")
+            mean_i = checkpoint_name(mean_i, "cbn_stats")
+            vrr = checkpoint_name(vrr, "cbn_stats")
+            vii = checkpoint_name(vii, "cbn_stats")
+            vri = checkpoint_name(vri, "cbn_stats")
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean_r.value = m * ra_mean_r.value + (1 - m) * mean_r

@@ -232,4 +232,13 @@ class ComplexLSTM(nn.Module):
             # complex multiply.
             out_r = nn.Dense(self.projection_dim, dtype=self.dtype, name="proj_r")(out_r)
             out_i = nn.Dense(self.projection_dim, dtype=self.dtype, name="proj_i")(out_i)
+            # XLA TPU miscompile workaround (v5e, observed at batch <= 4):
+            # the projection's weight-gradient reduce gets a transpose from
+            # the caller's layout shuffle folded into it post-optimization,
+            # tripping the HLO verifier ("Expected instruction to have shape
+            # equal to bf16[4,128], actual bf16[128,4]",
+            # op clstm_1/proj_r/reduce_sum). The barrier stops the folding
+            # on both the forward and transpose paths; the materialized
+            # tensor is small ([B, T, C*D]).
+            out_r, out_i = jax.lax.optimization_barrier((out_r, out_i))
         return out_r, out_i

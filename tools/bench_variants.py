@@ -36,6 +36,7 @@ def run_variant(name: str) -> float:
         cbn_fold="fold" in flags,
         remat="remat" in flags,
         layout="nchw" if "nchw" in flags else "nhwc",
+        remat_policy="conv_out,cbn_stats" if "save" in flags else "",
     )
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
@@ -69,7 +70,10 @@ def run_variant(name: str) -> float:
             loss,
         )
 
-    n_scan = 8 if "scan8" in flags else 1
+    n_scan = 1
+    for f in flags:
+        if f.startswith("scan"):
+            n_scan = int(f[4:])
     if n_scan > 1:
         # N steps per dispatch (Solver steps_per_call): amortizes the ~30 ms
         # relay dispatch overhead. Same math as N single steps.
