@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import jax
 from flax import serialization
 
 from speech_enhancement_tpu.config import load_json, save_json
@@ -31,6 +32,11 @@ def save_checkpoint(
     is_best: bool,
 ) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
+    # ONE batched device->host transfer before serializing: msgpack walks
+    # leaves serially, and per-leaf fetches through the TPU relay cost a
+    # full round trip each (~0.2 s x 458 leaves = ~95 s measured vs ~0.04 s
+    # after a batched jax.device_get — NOTES_DEV.md round-2 log).
+    state = jax.device_get(state)
     blob = serialization.msgpack_serialize(_to_pure(state))
     with open(os.path.join(checkpoint_dir, "latest_model.ckpt"), "wb") as handle:
         handle.write(blob)
