@@ -162,3 +162,35 @@ def test_dccrn_reference_size():
     variables = model.init(jax.random.PRNGKey(0), x)
     mb = param_megabytes(variables["params"])
     assert 7.0 < mb < 12.0, mb
+
+
+def test_dccrn_remat_policy_grads_match(rng):
+    """remat_policy named saves change the recompute schedule, not the math:
+    gradients must be bit-identical to plain remat (and to no remat)."""
+    import optax
+
+    from speech_enhancement_tpu.models.dccrn import DCCRN
+    from speech_enhancement_tpu.train.losses import mse_loss
+
+    x = jnp.asarray(rng.standard_normal((2, 1, 4000)).astype(np.float32) * 0.1)
+    target = x * 0.9
+    kwargs = dict(kernel_num=(4, 8, 8, 16, 16, 32), rnn_units=16)
+    base = DCCRN(remat=True, **kwargs)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    def grads_of(model):
+        def loss_of(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return mse_loss(out, target)
+
+        return jax.jit(jax.grad(loss_of))(variables["params"])
+
+    g_plain = grads_of(base)
+    g_policy = grads_of(
+        DCCRN(remat=True, remat_policy="conv_out,cbn_stats", **kwargs)
+    )
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_policy)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
