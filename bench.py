@@ -21,7 +21,8 @@ Configuration benched = the framework's TPU fast path:
   * solver.steps_per_call=16 — 16 optimizer steps per device dispatch via
     lax.scan (the Solver feature; amortizes the ~30 ms axon relay dispatch
     overhead). Measured ladder: 76.3 (r1 fast path) -> 74.9 (stacked)
-    -> 72.8 (scan16) -> 67.8 ms/step (named saves) on v5e.
+    -> 72.8 (scan16) -> 67.8 (named saves) -> 65.4 ms/step (folded CBN,
+    a win only in combination with the named-saves policy) on v5e.
 Throughput is total utterances / total wall time; each dispatch is synced
 by fetching the loss (block_until_ready lies under the axon relay).
 
@@ -62,7 +63,7 @@ def main():
     from speech_enhancement_tpu.train.losses import mse_loss
 
     model = DCCRN(dtype="bfloat16", remat=True,
-                  remat_policy="conv_out,cbn_stats")
+                  remat_policy="conv_out,cbn_stats", cbn_fold=True)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
 
     t_samples = SECONDS * SR

@@ -73,7 +73,7 @@ def test_dccrn_pallas_mask_path(rng):
     x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
     cfg = {"name": "dccrn", "kernel_num": [4, 8, 8, 16, 16, 32], "rnn_units": 16}
     model_ref, _ = build_model(Config(cfg))
-    model_pl, _ = build_model(Config(dict(cfg, use_pallas_mask=True)))
+    model_pl, _ = build_model(Config(dict(cfg, use_pallas_mask="force")))
     import jax as _jax
 
     variables = model_ref.init(_jax.random.PRNGKey(0), x)
@@ -93,7 +93,7 @@ def test_dccrn_pallas_stft_path(rng):
     x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
     cfg = {"name": "dccrn", "kernel_num": [4, 8, 8, 16, 16, 32], "rnn_units": 16}
     model_ref, _ = build_model(Config(cfg))
-    model_pl, _ = build_model(Config(dict(cfg, use_pallas_stft=True)))
+    model_pl, _ = build_model(Config(dict(cfg, use_pallas_stft="force")))
     variables = model_ref.init(_jax.random.PRNGKey(0), x)
     a = np.asarray(model_ref.apply(variables, x, train=False))
     b = np.asarray(model_pl.apply(variables, x, train=False))
