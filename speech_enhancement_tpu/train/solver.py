@@ -125,12 +125,18 @@ class Solver:
 
         self._rng = jax.random.PRNGKey(int(config.get("seed", 10)))
         self.state = self._init_state()
+        # host-side mirror of state["step"] so per-step TB bookkeeping never
+        # forces a device sync (deferred-sync epoch loop, _run_one_epoch)
+        self._global_step = 0
         self._train_step = self._build_train_step()
         self.steps_per_call = max(1, int(config.solver.get("steps_per_call", 1)))
-        self._train_multi = (
-            self._build_multi_step(self.steps_per_call)
-            if self.steps_per_call > 1 else None
-        )
+        # lazily-built n-step scan programs, keyed by chunk length. The
+        # final partial chunk of an epoch dispatches as a few power-of-2
+        # scans (e.g. 14 -> 8+4+2) instead of n slow single-step round
+        # trips; restricting lengths to powers of two <= steps_per_call
+        # bounds the number of compiled programs even when epoch lengths
+        # drift between runs/datasets.
+        self._multi_cache: Dict[int, Any] = {}
         self._val_step = self._build_val_step()
 
         resume = str(config.solver.get("resume", "") or "")
@@ -323,52 +329,82 @@ class Solver:
 
         total, count = 0.0, 0.0
         chunk: list = []  # staged batches for the multi-step dispatcher
+        # Deferred synchronization: every dispatch returns DEVICE scalars
+        # that are only fetched in ONE batched jax.device_get at epoch end.
+        # Blocking on the loss after each dispatch (the obvious loop) costs
+        # a full relay round trip per step AND serializes the next chunk's
+        # host->device uploads behind the previous dispatch's compute; with
+        # the fetch deferred, uploads overlap compute and the epoch pays one
+        # round trip total (measured: 13.0 s -> see NOTES_DEV round-2 log).
+        pending: list = []  # (losses_dev [n], grad_norms_dev [n], first_gstep)
 
         def run_train_batch(mixture, sources):
             self._rng, rng = jax.random.split(self._rng)
             self.state, loss, grad_norm = self._train_step(
                 self.state, rng, mixture, sources
             )
-            return [float(loss)], [float(grad_norm)]
+            self._global_step += 1
+            # raw 0-d device scalars — no device-side reshape (each [None]
+            # would be its own tiny relay dispatch); drain_pending atleast_1d's
+            pending.append((loss, grad_norm, self._global_step))
 
         def run_train_chunk():
             """Dispatch the staged chunk: one device call, N optimizer steps."""
             nonlocal chunk
             batches, chunk = chunk, []
             if not batches:
-                return [], []
-            if len(batches) == self.steps_per_call and self._train_multi is not None:
-                mixtures = jnp.stack([b[0] for b in batches])
-                sources = jnp.stack([b[1] for b in batches])
+                return
+            while batches:
+                n = 1
+                while n * 2 <= min(len(batches), self.steps_per_call):
+                    n *= 2
+                part, batches = batches[:n], batches[n:]
+                if n == 1:
+                    run_train_batch(*part[0])
+                    continue
+                multi = self._multi_cache.get(n)
+                if multi is None:
+                    multi = self._build_multi_step(n)
+                    self._multi_cache[n] = multi
+                mixtures = jnp.stack([b[0] for b in part])
+                sources = jnp.stack([b[1] for b in part])
                 self._rng, rng = jax.random.split(self._rng)
-                self.state, losses, grad_norms = self._train_multi(
+                self.state, losses, grad_norms = multi(
                     self.state, rng, mixtures, sources
                 )
-                return list(np.asarray(losses)), list(np.asarray(grad_norms))
-            out_l, out_g = [], []
-            for mixture, sources in batches:  # tail: single-step path
-                losses, grad_norms = run_train_batch(mixture, sources)
-                out_l += losses
-                out_g += grad_norms
-            return out_l, out_g
+                self._global_step += n
+                pending.append((losses, grad_norms, self._global_step - n + 1))
 
-        def account(losses, grad_norms, step):
+        def drain_pending():
+            """One batched device fetch for every staged dispatch result."""
             nonlocal total, count
-            for loss_value, gn in zip(losses, grad_norms):
-                if not np.isfinite(loss_value):
-                    # failure detection: the reference only scaffolds
-                    # detect_anomaly (solver.py:460); here a non-finite loss
-                    # aborts the epoch with a clear message.
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_value} at epoch {epoch} step {step}"
-                    )
-                if self.writer:
-                    gstep = int(self.state["step"])  # true global step counter
-                    self.writer.add_scalar("train/step_loss", loss_value, gstep)
-                    self.writer.add_scalar("train/grad_norm", float(gn), gstep)
-                total += loss_value
-                count += 1
+            if not pending:
+                return
+            fetched = jax.device_get([(p[0], p[1]) for p in pending])
+            for (losses, grad_norms), (_, _, first) in zip(fetched, pending):
+                losses = np.atleast_1d(losses)
+                grad_norms = np.atleast_1d(grad_norms)
+                for offset, (loss_value, gn) in enumerate(zip(losses, grad_norms)):
+                    loss_value = float(loss_value)
+                    if not np.isfinite(loss_value):
+                        # failure detection: the reference only scaffolds
+                        # detect_anomaly (solver.py:460); a non-finite loss
+                        # aborts with a clear message (at the epoch-end sync
+                        # point — per-step checks would cost a round trip
+                        # per step).
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_value} at epoch {epoch} "
+                            f"global step {first + offset}"
+                        )
+                    if self.writer:
+                        gstep = first + offset
+                        self.writer.add_scalar("train/step_loss", loss_value, gstep)
+                        self.writer.add_scalar("train/grad_norm", float(gn), gstep)
+                    total += loss_value
+                    count += 1
+            pending.clear()
 
+        val_pending: list = []
         for step, batch in enumerate(loader):
             if limit is not None and step >= limit:
                 break
@@ -378,18 +414,24 @@ class Solver:
                 if self.steps_per_call > 1:
                     chunk.append((mixture, sources))
                     if len(chunk) == self.steps_per_call:
-                        account(*run_train_chunk(), step)
+                        run_train_chunk()
                 else:
-                    account(*run_train_batch(mixture, sources), step)
+                    run_train_batch(mixture, sources)
             else:
                 mask = jnp.asarray(
                     batch.get("mask", np.ones(mixture.shape[0], np.float32))
                 )
-                loss_sum, n_valid = self._val_step(self.state, mixture, sources, mask)
+                val_pending.append(
+                    self._val_step(self.state, mixture, sources, mask)
+                )
+        if train and chunk:
+            run_train_chunk()
+        if train:
+            drain_pending()
+        else:
+            for loss_sum, n_valid in jax.device_get(val_pending):
                 total += float(loss_sum)
                 count += float(n_valid)
-        if train and chunk:
-            account(*run_train_chunk(), -1)
         return total / max(count, 1)
 
     def train(self) -> Dict[str, Any]:
