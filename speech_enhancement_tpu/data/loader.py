@@ -40,12 +40,31 @@ def segment_item(array: np.ndarray, segment_length: int) -> np.ndarray:
     return np.moveaxis(segments, -2, 0)
 
 
+def encode_wire_int16(arr: np.ndarray) -> Dict[str, np.ndarray]:
+    """f32 [..., L] -> {"q": int16, "scale": f32 [..., 1]} wire encoding.
+
+    Host->device batch uploads are the sustained-training bottleneck on
+    relayed TPU runtimes (NOTES_DEV.md round-2 log: ~8 MB/batch of f32 at
+    ~80 MB/s vs a 65 ms device step). Audio is 16-bit at origin, so a
+    per-(item, channel) peak-scaled int16 wire quarters the bytes; the
+    device decodes with one fused multiply inside the train step
+    (Solver._decode_wire). Quantization error is <= peak/65534 (~90 dB
+    below segment peak — the fidelity class of the source PCM).
+    """
+    peak = np.max(np.abs(arr), axis=-1, keepdims=True)
+    scale = (np.maximum(peak, 1e-9) / 32767.0).astype(np.float32)
+    q = np.round(arr / scale).astype(np.int16)
+    return {"q": q, "scale": scale}
+
+
 class SegmentLoader:
     """Iterates a dataset, yielding fixed-shape segment batches.
 
     Yields dicts with ``mixture`` [B, C, L] and ``sources`` [B, S, C, L]
     float32 numpy arrays (the reference's train-batch contract,
-    src/distrib.py:91-97, with B now constant).
+    src/distrib.py:91-97, with B now constant). With ``wire="int16"`` the
+    two arrays are wire-encoded (see :func:`encode_wire_int16`); the Solver
+    decodes on device.
     """
 
     def __init__(
@@ -58,6 +77,7 @@ class SegmentLoader:
         seed: int = 0,
         num_workers: int = 0,
         prefetch: int = 2,
+        wire: str = "f32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,6 +86,7 @@ class SegmentLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.wire = wire
         self._epoch = 0
         self._seed = seed
 
@@ -127,7 +148,7 @@ class SegmentLoader:
                 batch_mix = np.stack(pool_mix[: self.batch_size])
                 batch_src = np.stack(pool_src[: self.batch_size])
                 del pool_mix[: self.batch_size], pool_src[: self.batch_size]
-                yield {"mixture": batch_mix, "sources": batch_src}
+                yield self._emit(batch_mix, batch_src)
         if pool_mix and not self.drop_last:
             n = len(pool_mix)
             pad = self.batch_size - n
@@ -135,7 +156,17 @@ class SegmentLoader:
             batch_src = np.stack(pool_src + [np.zeros_like(pool_src[0])] * pad)
             mask = np.zeros(self.batch_size, np.float32)
             mask[:n] = 1.0
-            yield {"mixture": batch_mix, "sources": batch_src, "mask": mask}
+            yield self._emit(batch_mix, batch_src, mask)
+
+    def _emit(self, batch_mix, batch_src, mask=None) -> Dict[str, np.ndarray]:
+        if self.wire == "int16":
+            batch = {"mixture": encode_wire_int16(batch_mix),
+                     "sources": encode_wire_int16(batch_src)}
+        else:
+            batch = {"mixture": batch_mix, "sources": batch_src}
+        if mask is not None:
+            batch["mask"] = mask
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
@@ -301,6 +332,7 @@ def get_dataloader(dataset, config, train: bool = True, seed: int = 0,
         drop_last=not validation,
         seed=seed,
         num_workers=int(config.solver.get("num_workers", 0) or 0),
+        wire=str(config.dset.get("wire", "f32") or "f32"),
     )
 
 

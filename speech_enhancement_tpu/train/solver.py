@@ -165,6 +165,15 @@ class Solver:
         sources = jnp.zeros((batch, n_spk, channels, seg), jnp.float32)
         return mixture, sources
 
+    @staticmethod
+    def _decode_wire(x):
+        """int16 wire batches ({"q", "scale"}, data/loader.py
+        encode_wire_int16) -> f32 inside the jitted step; f32 passes
+        through. One fused multiply — upload bytes quarter, math in f32."""
+        if isinstance(x, dict):
+            return x["q"].astype(jnp.float32) * x["scale"]
+        return x
+
     def _adapt(self, mixture: jnp.ndarray, sources: jnp.ndarray):
         """Shape adaptation per SignalSpec (reference solver.py:440-458)."""
         if self.spec.monarch:
@@ -225,6 +234,8 @@ class Solver:
         def step_fn(state, rng, mixture, sources, axis_name=None):
             if axis_name is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            mixture = self._decode_wire(mixture)
+            sources = self._decode_wire(sources)
             inputs, target = self._adapt(mixture, sources)
 
             def loss_of(params):
@@ -294,6 +305,8 @@ class Solver:
 
     def _build_val_step(self):
         def val_fn(state, mixture, sources, mask):
+            mixture = self._decode_wire(mixture)
+            sources = self._decode_wire(sources)
             inputs, target = self._adapt(mixture, sources)
             variables = {"params": state["params"]}
             if state["batch_stats"]:
@@ -366,8 +379,10 @@ class Solver:
                 if multi is None:
                     multi = self._build_multi_step(n)
                     self._multi_cache[n] = multi
-                mixtures = jnp.stack([b[0] for b in part])
-                sources = jnp.stack([b[1] for b in part])
+                mixtures = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                        *[b[0] for b in part])
+                sources = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[b[1] for b in part])
                 self._rng, rng = jax.random.split(self._rng)
                 self.state, losses, grad_norms = multi(
                     self.state, rng, mixtures, sources
@@ -408,8 +423,9 @@ class Solver:
         for step, batch in enumerate(loader):
             if limit is not None and step >= limit:
                 break
-            mixture = jnp.asarray(batch["mixture"])
-            sources = jnp.asarray(batch["sources"])
+            # batches are f32 arrays or int16 wire pytrees ({"q","scale"})
+            mixture = jax.tree.map(jnp.asarray, batch["mixture"])
+            sources = jax.tree.map(jnp.asarray, batch["sources"])
             if train:
                 if self.steps_per_call > 1:
                     chunk.append((mixture, sources))
@@ -418,8 +434,10 @@ class Solver:
                 else:
                     run_train_batch(mixture, sources)
             else:
+                n_items = (mixture["q"] if isinstance(mixture, dict)
+                           else mixture).shape[0]
                 mask = jnp.asarray(
-                    batch.get("mask", np.ones(mixture.shape[0], np.float32))
+                    batch.get("mask", np.ones(n_items, np.float32))
                 )
                 val_pending.append(
                     self._val_step(self.state, mixture, sources, mask)

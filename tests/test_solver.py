@@ -214,3 +214,21 @@ def test_steps_per_call_matches_single_step(vbd_root, tmp_path):
     # trajectories may differ. The fixture model uses dropout at train time,
     # so assert finite + same step count rather than bitwise equality.
     assert np.isfinite(losses[0]) and np.isfinite(losses[1])
+
+
+def test_int16_wire_matches_f32(vbd_root, tmp_path):
+    """dset.wire=int16 quarters upload bytes; the on-device decode must give
+    the same training trajectory as the f32 wire up to 16-bit quantization
+    of the (16-bit-at-origin) audio."""
+    cfg_a = _config(vbd_root, str(tmp_path / "a"))
+    cfg_b = _config(vbd_root, str(tmp_path / "b"))
+    cfg_b.dset.wire = "int16"
+    sa = main(cfg_a, mode="train", return_solver=True)
+    sb = main(cfg_b, mode="train", return_solver=True)
+    a = np.asarray(sa.scores["train_loss"])
+    b = np.asarray(sb.scores["train_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sa.scores["val_loss"]), np.asarray(sb.scores["val_loss"]),
+        rtol=2e-3, atol=1e-5,
+    )
