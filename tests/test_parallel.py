@@ -100,3 +100,17 @@ def test_data_parallel_multi_step(vbd_root, tmp_path):
     cfg.solver.total_steps = 4
     solver = main_fn(cfg, mode="train", return_solver=True)
     assert np.isfinite(solver.scores["train_loss"][0])
+
+
+def test_data_parallel_int16_wire(vbd_root, tmp_path):
+    # the int16 wire batches are pytrees; the shard_map P("data") prefix
+    # specs must shard every leaf (q AND scale) on the batch axis, and the
+    # DP loss must still match the f32 wire
+    cfg_q = _config(vbd_root, str(tmp_path / "q"), data_parallel=8)
+    cfg_q.dset.wire = "int16"
+    cfg_f = _config(vbd_root, str(tmp_path / "f"), data_parallel=8)
+    s_q = main(cfg_q, mode="train", return_solver=True)
+    s_f = main(cfg_f, mode="train", return_solver=True)
+    assert s_q.scores["train_loss"][0] == pytest.approx(
+        s_f.scores["train_loss"][0], rel=2e-3
+    )
