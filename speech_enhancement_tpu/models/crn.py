@@ -26,12 +26,14 @@ _ENC_CHANNELS = (16, 32, 64, 128, 256)
 
 class _CausalConvBlock(nn.Module):
     features: int
+    dtype: object = None  # compute dtype (bf16 fast path); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         # x: [B, F, T, C]; freq VALID k3 s2, time causal k2 s1 (pad left 1)
         x = nn.Conv(
-            self.features, (3, 2), strides=(2, 1), padding=((0, 0), (1, 0)), name="conv"
+            self.features, (3, 2), strides=(2, 1), padding=((0, 0), (1, 0)),
+            dtype=self.dtype, name="conv"
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         return nn.elu(x)
@@ -41,11 +43,13 @@ class _CausalTransConvBlock(nn.Module):
     features: int
     is_last: bool = False
     extra_freq_pad: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.ConvTranspose(
-            self.features, (3, 2), strides=(2, 1), padding="VALID", name="conv"
+            self.features, (3, 2), strides=(2, 1), padding="VALID",
+            dtype=self.dtype, name="conv"
         )(x)
         x = x[:, :, :-1, :]  # chomp the extra time step (causal)
         if self.extra_freq_pad:
@@ -60,10 +64,15 @@ class CRN(nn.Module):
 
     use_lstm: bool = True
     amplitude_compat: bool = False
+    # compute dtype for convs + the 1792-wide LSTMs ("bfloat16" is the TPU
+    # fast path — the model is LSTM-matmul-bound); params/BN stats stay f32
+    dtype: str = "float32"
+    lstm_unroll: int = 8  # lax.scan unroll (amortizes loop overhead)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: [B, 1, F, T, 2]
+        compute_dtype = jnp.dtype(self.dtype)
         if self.amplitude_compat:
             amplitude = jnp.sqrt(x[..., 0] ** 2 - x[..., 1] ** 2)  # reference NaN quirk
         else:
@@ -72,7 +81,8 @@ class CRN(nn.Module):
 
         skips = []
         for i, features in enumerate(_ENC_CHANNELS):
-            h = _CausalConvBlock(features, name=f"enc_{i + 1}")(h, train)
+            h = _CausalConvBlock(features, dtype=compute_dtype,
+                                 name=f"enc_{i + 1}")(h, train)
             skips.append(h)
 
         if self.use_lstm:
@@ -80,8 +90,10 @@ class CRN(nn.Module):
             # (crn.py:115-124); match that ordering.
             batch, n_freq, n_frame, n_chan = h.shape
             flat = h.transpose(0, 2, 3, 1).reshape(batch, n_frame, n_chan * n_freq)
-            flat, _ = LSTMLayer(n_chan * n_freq, name="lstm1")(flat)
-            flat, _ = LSTMLayer(n_chan * n_freq, name="lstm2")(flat)
+            flat, _ = LSTMLayer(n_chan * n_freq, dtype=compute_dtype,
+                                unroll=self.lstm_unroll, name="lstm1")(flat)
+            flat, _ = LSTMLayer(n_chan * n_freq, dtype=compute_dtype,
+                                unroll=self.lstm_unroll, name="lstm2")(flat)
             mid = flat.reshape(batch, n_frame, n_chan, n_freq)
             mid = mid.transpose(0, 3, 1, 2)  # [B, F, T, C]
         else:
@@ -96,8 +108,9 @@ class CRN(nn.Module):
                 features,
                 is_last=(i == len(dec_channels) - 1),
                 extra_freq_pad=1 if i == 3 else 0,
+                dtype=compute_dtype,
                 name=f"dec_{i + 1}",
             )(d, train)
 
-        mask = jnp.moveaxis(d, -1, 1)  # [B, 1, F, T]
+        mask = jnp.moveaxis(d, -1, 1).astype(jnp.float32)  # [B, 1, F, T]
         return mask[..., None] * x
