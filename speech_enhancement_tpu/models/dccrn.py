@@ -290,7 +290,13 @@ class DCCRN(nn.Module):
         n_freq = self.fft_len // 2 + 1
 
         # flags: False | True (TPU only — CPU keeps the XLA path instead of
-        # falling into interpret mode) | "force" (always, for hermetic tests)
+        # falling into interpret mode) | "force" (always, for hermetic tests).
+        # The gate reads the DEFAULT backend at trace time: under an explicit
+        # non-default placement on a TPU-enabled host (e.g. with
+        # jax.default_device(cpu)) it still reports "tpu" and the Pallas
+        # kernel would lower for CPU and fail — pass use_pallas_*=False for
+        # that configuration (main.py's --device cpu does this via
+        # JAX_PLATFORMS, which changes the default backend itself).
         on_tpu = jax.default_backend() == "tpu"
         use_stft = self.use_pallas_stft and (on_tpu or self.use_pallas_stft == "force")
         stft_method = "pallas" if (use_stft and not train) else "matmul"

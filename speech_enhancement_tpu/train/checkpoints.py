@@ -51,10 +51,18 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
-    """Load a checkpoint file into the structure of ``template``."""
+    """Load a checkpoint file into the structure of ``template``.
+
+    Top-level template keys missing from the blob (e.g. ``step`` in
+    round-2-era checkpoints, added to the artifact later) keep their
+    template value instead of failing the restore.
+    """
     with open(path, "rb") as handle:
         raw = serialization.msgpack_restore(handle.read())
-    return serialization.from_state_dict(template, raw)
+    present = {k: v for k, v in template.items() if k in raw}
+    restored = dict(template)
+    restored.update(serialization.from_state_dict(present, raw))
+    return restored
 
 
 def latest_checkpoint(run_dir: str) -> Optional[str]:

@@ -349,6 +349,11 @@ class Solver:
         # host->device uploads behind the previous dispatch's compute; with
         # the fetch deferred, uploads overlap compute and the epoch pays one
         # round trip total (measured: 13.0 s -> see NOTES_DEV round-2 log).
+        # Draining every DRAIN_EVERY dispatches (not only at epoch end)
+        # bounds how long a NaN can poison training on long epochs to
+        # ~DRAIN_EVERY * steps_per_call steps while still amortizing the
+        # round trip to a negligible fraction.
+        DRAIN_EVERY = 64
         pending: list = []  # (losses_dev [n], grad_norms_dev [n], first_gstep)
 
         def run_train_batch(mixture, sources):
@@ -433,6 +438,8 @@ class Solver:
                         run_train_chunk()
                 else:
                     run_train_batch(mixture, sources)
+                if len(pending) >= DRAIN_EVERY:
+                    drain_pending()
             else:
                 n_items = (mixture["q"] if isinstance(mixture, dict)
                            else mixture).shape[0]
@@ -495,7 +502,8 @@ class Solver:
             if (epoch + 1) % save_interval == 0 or is_best:
                 ckpt.save_checkpoint(
                     self.checkpoint_dir,
-                    {k: self.state[k] for k in ("params", "batch_stats", "opt_state")},
+                    {k: self.state[k]
+                     for k in ("params", "batch_stats", "opt_state", "step")},
                     epoch,
                     metric_name,
                     float(score),
@@ -687,12 +695,19 @@ class Solver:
         path = ckpt.latest_checkpoint(run_dir)
         if path is None:
             raise FileNotFoundError(f"no latest_model.ckpt under {run_dir}")
-        template = {k: self.state[k] for k in ("params", "batch_stats", "opt_state")}
+        template = {k: self.state[k]
+                    for k in ("params", "batch_stats", "opt_state", "step")}
         restored = ckpt.load_checkpoint(path, template)
         self.state["params"] = restored["params"]
         self.state["batch_stats"] = restored["batch_stats"]
         if bool(self.config.optim.get("load", False)):
             self.state["opt_state"] = restored["opt_state"]
+        # single source of truth for the global step: the restored device
+        # counter seeds the host-side TB mirror so step indices continue
+        # across resume instead of restarting at 0 (round-2 checkpoints
+        # lacked "step"; load_checkpoint leaves the template zero then)
+        self.state["step"] = restored.get("step", self.state["step"])
+        self._global_step = int(self.state["step"])
         scores = ckpt.load_scores(run_dir)
         if scores:
             self.scores["best_score"] = scores.get("best_score")

@@ -75,6 +75,11 @@ def test_resume_restores_weights(vbd_root, tmp_path):
     solver2 = main(cfg2, mode="validation", return_solver=True)
     leaf1 = np.asarray(next(iter(jax_leaves(solver2.state["params"]))))
     np.testing.assert_allclose(leaf0, leaf1)
+    # the global step resumes from the checkpointed device counter so TB
+    # step indices continue instead of restarting at 0 (ADVICE r2)
+    assert int(solver.state["step"]) == solver._global_step > 0
+    assert solver2._global_step == int(solver.state["step"])
+    assert int(solver2.state["step"]) == int(solver.state["step"])
 
 
 def jax_leaves(tree):

@@ -50,7 +50,7 @@ def bench(config_name: str, batch: int = BATCH):
         target = stft_custom(
             target_wav if spec.monarch
             else jnp.broadcast_to(target_wav[:, None],
-                                  (BATCH, n_spk, channels, SR * SECONDS)),
+                                  (batch, n_spk, channels, SR * SECONDS)),
             cfg.model)
     else:
         inputs = wav
