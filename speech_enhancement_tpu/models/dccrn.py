@@ -238,6 +238,87 @@ class _ComplexDeconvBlock(nn.Module):
         return _PReLU(name="prelu")(jnp.concatenate([yr, yi], axis=ch_axis))
 
 
+class _CBNState(nn.Module):
+    """Parameter/stat holder mirroring ComplexBatchNorm's variable tree.
+
+    The fused-block path (ops/pallas/conv_block.py) computes the CBN math
+    inside its kernels; this module only declares the identical params +
+    running stats (same names, shapes, initializers as
+    ops/complex_ops.py:ComplexBatchNorm) so checkpoints and the torch
+    importer work unchanged across ``use_fused_blocks``.
+    """
+
+    channels: int
+    momentum: float = 0.9
+
+    def setup(self):
+        c = (self.channels,)
+        rt2 = lambda k, s: jnp.full(s, 1.0 / jnp.sqrt(2.0))  # noqa: E731
+        rt2v = lambda s: jnp.full(s, 1.0 / jnp.sqrt(2.0))  # noqa: E731
+        self.gamma_rr = self.param("gamma_rr", rt2, c)
+        self.gamma_ii = self.param("gamma_ii", rt2, c)
+        self.gamma_ri = self.param("gamma_ri", nn.initializers.zeros, c)
+        self.beta_r = self.param("beta_r", nn.initializers.zeros, c)
+        self.beta_i = self.param("beta_i", nn.initializers.zeros, c)
+        self.ra_mean_r = self.variable("batch_stats", "mean_r", jnp.zeros, c)
+        self.ra_mean_i = self.variable("batch_stats", "mean_i", jnp.zeros, c)
+        self.ra_vrr = self.variable("batch_stats", "vrr", rt2v, c)
+        self.ra_vii = self.variable("batch_stats", "vii", rt2v, c)
+        self.ra_vri = self.variable("batch_stats", "vri", jnp.zeros, c)
+
+    def params_dict(self):
+        return {"gamma_rr": self.gamma_rr, "gamma_ii": self.gamma_ii,
+                "gamma_ri": self.gamma_ri, "beta_r": self.beta_r,
+                "beta_i": self.beta_i}
+
+    def running_stats(self):
+        return {"mean_r": self.ra_mean_r.value, "mean_i": self.ra_mean_i.value,
+                "vrr": self.ra_vrr.value, "vii": self.ra_vii.value,
+                "vri": self.ra_vri.value}
+
+    def update(self, stats):
+        if self.is_initializing():
+            return
+        m = self.momentum
+        self.ra_mean_r.value = m * self.ra_mean_r.value + (1 - m) * stats["mean_r"]
+        self.ra_mean_i.value = m * self.ra_mean_i.value + (1 - m) * stats["mean_i"]
+        self.ra_vrr.value = m * self.ra_vrr.value + (1 - m) * stats["vrr"]
+        self.ra_vii.value = m * self.ra_vii.value + (1 - m) * stats["vii"]
+        self.ra_vri.value = m * self.ra_vri.value + (1 - m) * stats["vri"]
+
+
+class _AlphaParam(nn.Module):
+    """PReLU scalar holder matching _PReLU's param ("alpha", (1,), 0.25)."""
+
+    def setup(self):
+        self.alpha = self.param("alpha", lambda k, s: jnp.full(s, 0.25), (1,))
+
+
+class _FusedBlockParams(nn.Module):
+    """Param tree twin of _ComplexConvBlock/_ComplexDeconvBlock for the
+    fused-kernel execution path: same names ("wr"/"wi"/"br"/"bi" +
+    "cbn"/"prelu" children), zero compute."""
+
+    in_ch: int  # per complex part
+    features: int  # per complex part
+    kernel_size: int = 5
+    last: bool = False
+
+    def setup(self):
+        kshape = (self.kernel_size, 2, self.in_ch, self.features)
+        init = nn.initializers.lecun_normal()
+        self.wr = self.param("wr", init, kshape)
+        self.wi = self.param("wi", init, kshape)
+        self.br = self.param("br", nn.initializers.zeros, (self.features,))
+        self.bi = self.param("bi", nn.initializers.zeros, (self.features,))
+        if not self.last:
+            self.cbn = _CBNState(channels=self.features)
+            self.prelu = _AlphaParam()
+
+    def __call__(self):  # pragma: no cover - params are read directly
+        return None
+
+
 class DCCRN(nn.Module):
     SPEC: SignalSpec = WAV_MONO
 
@@ -280,6 +361,128 @@ class DCCRN(nn.Module):
     # activation layout: "nhwc" (channels in lanes) or "nchw" (time in
     # lanes). Params are identical either way; see _ComplexConvBlock.
     layout: str = "nhwc"
+    # execute the encoder/decoder as fused Pallas block kernels
+    # (ops/pallas/conv_block.py): activations flow as [B, F*C2, T] with time
+    # in lanes, each block is one VMEM pass (pointwise of the previous
+    # block's CBN+PReLU + complex conv), the decoder skip join never
+    # materializes. Parameter tree is identical to the XLA path
+    # (_FusedBlockParams twins). False | True (TPU only) | "force".
+    use_fused_blocks: object = False
+
+    def _fused_encoder_decoder(self, real, imag, train: bool,
+                               interpret: bool):
+        """Fused-kernel execution of the enc -> LSTM -> dec stack.
+
+        Returns (mask_real, mask_imag) [B, F+1, T] with the DC bin padded
+        back — the same contract as the XLA path below.
+        """
+        from speech_enhancement_tpu.ops.pallas import conv_block as cb
+
+        compute_dtype = jnp.dtype(self.dtype)
+        batch, _, n_time = real.shape
+        f = self.fft_len // 2  # DC bin dropped
+        x = jnp.stack([real[:, 1:], imag[:, 1:]], axis=2)  # [B, F, 2, T]
+        x = x.reshape(batch, f * 2, n_time).astype(compute_dtype)
+
+        coef = cb.identity_coeffs(2)
+        alpha = jnp.ones((1,), jnp.float32)
+        c2in = 2
+        enc_outs = []  # (conv_out, f_out, c2out, out_coef, out_alpha)
+        for idx, features in enumerate(self.kernel_num):
+            blk = _FusedBlockParams(
+                in_ch=c2in // 2, features=features // 2,
+                kernel_size=self.kernel_size, name=f"enc_{idx}")
+            w2 = _block_complex_kernel(blk.wr, blk.wi)
+            b2 = jnp.concatenate([blk.br, blk.bi])
+            if train:
+                y, partials = cb.fused_conv_block(
+                    x, w2, b2, *coef, alpha, f_in=f, c2in=c2in,
+                    c2out=features, with_stats=True, interpret=interpret)
+                stats = cb.stats_from_partials(
+                    partials, batch * (f // 2) * n_time)
+                blk.cbn.update(stats)
+            else:
+                y = cb.fused_conv_block(
+                    x, w2, b2, *coef, alpha, f_in=f, c2in=c2in,
+                    c2out=features, with_stats=False, interpret=interpret)
+                stats = blk.cbn.running_stats()
+            coef = cb.fold_cbn_coeffs(blk.cbn.params_dict(), stats)
+            alpha = blk.prelu.alpha
+            x, f, c2in = y, f // 2, features
+            enc_outs.append((y, f, c2in, coef, alpha))
+
+        # ---- LSTM bottleneck (XLA; reuses the stacked-channel contract)
+        channels = c2in // 2
+        z5 = cb._pointwise_ref(
+            x.reshape(batch, f, c2in, n_time), *coef, alpha)
+        if self.use_clstm:
+            # [B, F, C, T] -> [B, T, C*F] (C outer, F inner — the reference
+            # flattening, dccrn.py:170-182)
+            r_in = z5[:, :, :channels].transpose(0, 3, 2, 1).reshape(
+                batch, n_time, channels * f)
+            i_in = z5[:, :, channels:].transpose(0, 3, 2, 1).reshape(
+                batch, n_time, channels * f)
+            for idx in range(self.rnn_layers):
+                last = idx == self.rnn_layers - 1
+                r_in, i_in = ComplexLSTM(
+                    hidden_size=self.rnn_units // 2,
+                    projection_dim=channels * f if last else None,
+                    dtype=compute_dtype,
+                    name=f"clstm_{idx}",
+                )(r_in, i_in)
+            r = r_in.reshape(batch, n_time, channels, f).transpose(0, 3, 2, 1)
+            i = i_in.reshape(batch, n_time, channels, f).transpose(0, 3, 2, 1)
+            x = jnp.concatenate([r, i], axis=2)
+        else:
+            from speech_enhancement_tpu.ops.rnn import LSTMLayer
+
+            flat = z5.transpose(0, 3, 2, 1).reshape(
+                batch, n_time, c2in * f)
+            for idx in range(self.rnn_layers):
+                flat, _ = LSTMLayer(self.rnn_units, name=f"lstm_{idx}")(flat)
+            flat = nn.Dense(c2in * f, name="transform")(flat)
+            flat = jax.lax.optimization_barrier(flat)
+            x = flat.reshape(batch, n_time, c2in, f).transpose(0, 3, 2, 1)
+        x = x.reshape(batch, f * c2in, n_time).astype(compute_dtype)
+
+        # ---- decoder: skip k joins enc_outs[-1-k]'s RAW conv output; the
+        # kernel applies that block's pointwise in VMEM (equivalent to the
+        # XLA path's post-activation skip tensor)
+        xcoef = cb.identity_coeffs(c2in)  # LSTM output: no pending pointwise
+        xalpha = jnp.ones((1,), jnp.float32)
+        c2x = c2in
+        dec_channels = list(self.kernel_num[::-1][1:]) + [2]
+        for idx, features in enumerate(dec_channels):
+            skip_y, f_s, c2s, scoef, salpha = enc_outs[len(enc_outs) - 1 - idx]
+            last = idx == len(dec_channels) - 1
+            blk = _FusedBlockParams(
+                in_ch=(c2x + c2s) // 2, features=features // 2,
+                kernel_size=self.kernel_size, last=last, name=f"dec_{idx}")
+            w2 = _block_complex_kernel(blk.wr, blk.wi)
+            b2 = jnp.concatenate([blk.br, blk.bi])
+            if train and not last:
+                y, partials = cb.fused_deconv_block(
+                    x, skip_y, w2, b2, xcoef, xalpha, scoef, salpha,
+                    f_in=f, c2x=c2x, c2s=c2s, c2out=features,
+                    with_stats=True, interpret=interpret)
+                stats = cb.stats_from_partials(
+                    partials, batch * (2 * f) * n_time)
+                blk.cbn.update(stats)
+            else:
+                y = cb.fused_deconv_block(
+                    x, skip_y, w2, b2, xcoef, xalpha, scoef, salpha,
+                    f_in=f, c2x=c2x, c2s=c2s, c2out=features,
+                    with_stats=False, interpret=interpret)
+                stats = None if last else blk.cbn.running_stats()
+            if not last:
+                xcoef = cb.fold_cbn_coeffs(blk.cbn.params_dict(), stats)
+                xalpha = blk.prelu.alpha
+            x, f, c2x = y, 2 * f, features
+
+        y = x.astype(jnp.float32).reshape(batch, f, 2, n_time)
+        mask_real = jnp.pad(y[:, :, 0], ((0, 0), (1, 0), (0, 0)))
+        mask_imag = jnp.pad(y[:, :, 1], ((0, 0), (1, 0), (0, 0)))
+        return mask_real, mask_imag
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -306,6 +509,15 @@ class DCCRN(nn.Module):
         imag = specs[:, n_freq:]
         # (the reference materializes spec_mags/spec_phase here,
         # dccrn.py:147-152; the trig-free mask head below needs neither)
+
+        use_fused = self.use_fused_blocks and (
+            on_tpu or self.use_fused_blocks == "force")
+        if use_fused:
+            mask_real, mask_imag = self._fused_encoder_decoder(
+                real, imag, train, interpret=not on_tpu)
+            return self._mask_and_synthesize(
+                real, imag, mask_real, mask_imag, length, train,
+                squeeze_channel)
 
         # drop DC bin; stacked activation (real-part channels, then imag):
         # layout "nhwc" [B, F-1, T', 2C] (channels in lanes) or "nchw"
@@ -415,7 +627,12 @@ class DCCRN(nn.Module):
         mask_i2 = xi[:, 0] if nchw else xi[..., 0]
         mask_real = jnp.pad(mask_r2, ((0, 0), (1, 0), (0, 0)))  # DC bin back
         mask_imag = jnp.pad(mask_i2, ((0, 0), (1, 0), (0, 0)))
+        return self._mask_and_synthesize(
+            real, imag, mask_real, mask_imag, length, train, squeeze_channel)
 
+    def _mask_and_synthesize(self, real, imag, mask_real, mask_imag, length,
+                             train, squeeze_channel):
+        """Masking modes E/C/R + ConviSTFT + clamp (dccrn.py:203-229)."""
         use_mask = self.use_pallas_mask and (
             jax.default_backend() == "tpu" or self.use_pallas_mask == "force"
         )
