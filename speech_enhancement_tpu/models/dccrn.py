@@ -395,9 +395,8 @@ class DCCRN(nn.Module):
             w2 = _block_complex_kernel(blk.wr, blk.wi)
             b2 = jnp.concatenate([blk.br, blk.bi])
             if train:
-                y, partials = cb.fused_conv_block(
-                    x, w2, b2, *coef, alpha, f_in=f, c2in=c2in,
-                    c2out=features, with_stats=True, interpret=interpret)
+                y, partials = cb.conv_block_train(
+                    f, c2in, features, interpret, x, w2, b2, *coef, alpha)
                 stats = cb.stats_from_partials(
                     partials, batch * (f // 2) * n_time)
                 blk.cbn.update(stats)
@@ -460,14 +459,14 @@ class DCCRN(nn.Module):
                 kernel_size=self.kernel_size, last=last, name=f"dec_{idx}")
             w2 = _block_complex_kernel(blk.wr, blk.wi)
             b2 = jnp.concatenate([blk.br, blk.bi])
-            if train and not last:
-                y, partials = cb.fused_deconv_block(
-                    x, skip_y, w2, b2, xcoef, xalpha, scoef, salpha,
-                    f_in=f, c2x=c2x, c2s=c2s, c2out=features,
-                    with_stats=True, interpret=interpret)
-                stats = cb.stats_from_partials(
-                    partials, batch * (2 * f) * n_time)
-                blk.cbn.update(stats)
+            if train:
+                y, partials = cb.deconv_block_train(
+                    f, c2x, c2s, features, interpret, x, skip_y, w2, b2,
+                    *xcoef, xalpha, *scoef, salpha)
+                if not last:
+                    stats = cb.stats_from_partials(
+                        partials, batch * (2 * f) * n_time)
+                    blk.cbn.update(stats)
             else:
                 y = cb.fused_deconv_block(
                     x, skip_y, w2, b2, xcoef, xalpha, scoef, salpha,

@@ -430,3 +430,445 @@ def fused_deconv_block(x, skip, w2, b2, coef_x, alpha_x, coef_s, alpha_s, *,
     if with_stats:
         return y, stats
     return y
+
+
+# ==========================================================================
+# training: custom VJP
+# ==========================================================================
+#
+# The train-mode ops below give the fused blocks exact gradients. Only the
+# conv/deconv input- and weight-gradients run as Pallas kernels (they are
+# the ops whose XLA layouts caused the round-2 slowdown); the pointwise
+# backward (PReLU/CBN-apply) and all per-channel reductions stay in XLA,
+# which is lane-efficient in the [B, R, T] layout. Crucially, the
+# stats -> coefficients -> next-block chain (fold_cbn_coeffs /
+# stats_from_partials) is ordinary traced code OUTSIDE these ops, so the
+# full complex-BN backward (gradients through the batch moments) composes
+# automatically from this op's VJP for (y, stats_partials) w.r.t.
+# (x, w2, b2, a_diag, a_cross, c0, alpha).
+
+
+def _enc_bwd_weights(w2: jnp.ndarray, dtype):
+    """Transposed-conv weight stacks for the encoder input-gradient.
+
+    g_z[fi] = sum_{jf: fi+2-jf even} W[jf]^T g_y[(fi+2-jf)/2] — ascending
+    g_y rows correspond to descending jf, so:
+      even fi: lhs [2(jt), 3*C2out, C2in] stacking jf = 4, 2, 0
+      odd  fi: lhs [2(jt), 2*C2out, C2in] stacking jf = 3, 1
+    """
+    wt = jnp.transpose(w2, (0, 1, 3, 2))  # [5, 2, C2out, C2in]
+
+    def stack(taps):
+        return jnp.concatenate([wt[jf] for jf in taps], axis=1).astype(dtype)
+
+    return stack((4, 2, 0)), stack((3, 1))
+
+
+def _enc_bwd_gz_kernel(gy_ref, we_ref, wo_ref, gz_ref, gy_scr, *,
+                       f_in, f_out, c2in, c2out, n_time):
+    """g_z = conv^T(g_y) for the stride-(2,1) causal encoder conv.
+
+    Time: y[to] consumed z[to + jt - 1]  =>  g_z[ti] += W_jt^T g_y[ti-jt+1];
+    scratch holds g_y at lane cols [1..T] with cols 0 and T+1 zero, so the
+    jt tap reads cols [2-jt, 2-jt+T).
+    """
+    gy_scr[...] = jnp.zeros(gy_scr.shape, gy_scr.dtype)
+    gy_scr[pl.ds(c2out, f_out * c2out), pl.ds(1, n_time)] = gy_ref[0]
+    for fi in range(f_in):
+        if fi % 2 == 0:
+            r0 = (fi // 2) * c2out  # group (fi/2 - 1) + 1 pad group
+            span, w = 3 * c2out, we_ref
+        else:
+            r0 = ((fi - 1) // 2 + 1) * c2out
+            span, w = 2 * c2out, wo_ref
+        acc = _matmul(w[0], gy_scr[pl.ds(r0, span), pl.ds(2, n_time)])
+        acc += _matmul(w[1], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
+        gz_ref[0, pl.ds(fi * c2in, c2in), :] = acc[:c2in].astype(gz_ref.dtype)
+
+
+def _enc_bwd_dw_kernel(z_ref, gy_ref, dw_ref, z_scr, *,
+                       f_in, f_out, c2in, c2out, n_time):
+    """dW_jt[5*C2in, C2out] += z_span(fo)[:, jt-shift] @ g_y[fo]^T.
+
+    Contraction over the lane (time) axis; f32 accumulation directly in the
+    output VMEM block (one per batch item, summed over B by the caller).
+    """
+    z_scr[...] = jnp.zeros(z_scr.shape, z_scr.dtype)
+    z_scr[pl.ds(2 * c2in, f_in * c2in), pl.ds(1, n_time)] = z_ref[0]
+    span = 5 * c2in
+    dw_ref[0] = jnp.zeros(dw_ref.shape[1:], dw_ref.dtype)
+    for fo in range(f_out):
+        r0 = 2 * fo * c2in
+        gy = gy_ref[0, pl.ds(fo * c2out, c2out), :]  # [C2out, T]
+        for jt in range(2):
+            zs = z_scr[pl.ds(r0, span), pl.ds(jt, n_time)]
+            contrib = jax.lax.dot_general(
+                zs, gy, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [span, C2out]
+            dw_ref[0, jt] += contrib
+
+
+def _dec_bwd_weights(w2: jnp.ndarray, c2x: int, c2s: int, dtype):
+    """Input-gradient stacks for the stride-2 transposed conv.
+
+    g_z[fi] = sum_{jf, jt} k[jf, jt]^T g_y[2fi + 2 - jf] (ascending g_y rows
+    <=> descending jf; all 5 jf valid per fi), split into x-region and
+    skip-region output columns.
+    """
+    cx, cs = c2x // 2, c2s // 2
+    x_rows = jnp.concatenate([
+        jnp.arange(0, cx), jnp.arange(cx + cs, 2 * cx + cs)])
+    s_rows = jnp.concatenate([
+        jnp.arange(cx, cx + cs), jnp.arange(2 * cx + cs, 2 * cx + 2 * cs)])
+    wt = jnp.transpose(w2, (0, 1, 3, 2))  # [5, 2, C2out, C2j]
+
+    def stack(rows):
+        parts = [wt[jf][:, :, rows] for jf in (4, 3, 2, 1, 0)]
+        return jnp.concatenate(parts, axis=1).astype(dtype)  # [2, 5*C2out, C2r]
+
+    return stack(x_rows), stack(s_rows)
+
+
+def _dec_bwd_gz_kernel(gy_ref, wx_ref, ws_ref, gzx_ref, gzs_ref, gy_scr, *,
+                       f_in, c2x, c2s, c2out, n_time):
+    """Input gradients of the decoder block for both joined regions.
+
+    Time: y[to] consumed z[to + jt]  =>  g_z[ti] += k_jt^T g_y[ti - jt];
+    scratch cols [1..T] hold g_y, col 0 zero, so the jt tap reads cols
+    [1-jt, 1-jt+T).
+    """
+    f_out = 2 * f_in
+    gy_scr[...] = jnp.zeros(gy_scr.shape, gy_scr.dtype)
+    gy_scr[pl.ds(2 * c2out, f_out * c2out), pl.ds(1, n_time)] = gy_ref[0]
+    span = 5 * c2out
+    for fi in range(f_in):
+        r0 = 2 * fi * c2out  # group (2fi - 2) + 2 pad groups
+        acc_x = _matmul(wx_ref[0], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
+        acc_x += _matmul(wx_ref[1], gy_scr[pl.ds(r0, span), pl.ds(0, n_time)])
+        acc_s = _matmul(ws_ref[0], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
+        acc_s += _matmul(ws_ref[1], gy_scr[pl.ds(r0, span), pl.ds(0, n_time)])
+        gzx_ref[0, pl.ds(fi * c2x, c2x), :] = acc_x[:c2x].astype(gzx_ref.dtype)
+        gzs_ref[0, pl.ds(fi * c2s, c2s), :] = acc_s[:c2s].astype(gzs_ref.dtype)
+
+
+def _dec_bwd_dw_kernel(zx_ref, zs_ref, gy_ref, dwx_ref, dws_ref,
+                       zx_scr, zs_scr, *,
+                       f_in, c2x, c2s, c2out, n_time):
+    """Weight gradients of the decoder block, per joined region.
+
+    dK[jf, jt][cr, co] = sum_{fi, to} z[fi, cr, to + jt] g_y[2fi+2-jf, co, to]
+    with out-of-range g_y groups dropped statically. Scratch holds z at
+    cols [0..T) with col T zero (the jt=1 tap's final column).
+    """
+    f_out = 2 * f_in
+    zx_scr[...] = jnp.zeros(zx_scr.shape, zx_scr.dtype)
+    zs_scr[...] = jnp.zeros(zs_scr.shape, zs_scr.dtype)
+    zx_scr[pl.ds(0, f_in * c2x), pl.ds(0, n_time)] = zx_ref[0]
+    zs_scr[pl.ds(0, f_in * c2s), pl.ds(0, n_time)] = zs_ref[0]
+    dwx_ref[0] = jnp.zeros(dwx_ref.shape[1:], dwx_ref.dtype)
+    dws_ref[0] = jnp.zeros(dws_ref.shape[1:], dws_ref.dtype)
+    for fi in range(f_in):
+        for jf in range(5):
+            fo = 2 * fi + 2 - jf
+            if fo < 0 or fo >= f_out:
+                continue
+            gy = gy_ref[0, pl.ds(fo * c2out, c2out), :]  # [C2out, T]
+            for jt in range(2):
+                zxs = zx_scr[pl.ds(fi * c2x, c2x), pl.ds(jt, n_time)]
+                zss = zs_scr[pl.ds(fi * c2s, c2s), pl.ds(jt, n_time)]
+                cx_contrib = jax.lax.dot_general(
+                    zxs, gy, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cs_contrib = jax.lax.dot_general(
+                    zss, gy, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwx_ref[0, jf, jt] += cx_contrib
+                dws_ref[0, jf, jt] += cs_contrib
+
+
+# --------------------------------------------------------------------------
+# backward host wrappers
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("f_in", "c2in", "c2out",
+                                             "interpret"))
+def _enc_bwd_gz(gy, w2, *, f_in, c2in, c2out, interpret):
+    batch, _, n_time = gy.shape
+    f_out = f_in // 2
+    we, wo = _enc_bwd_weights(w2, gy.dtype)
+    kernel = functools.partial(
+        _enc_bwd_gz_kernel, f_in=f_in, f_out=f_out, c2in=c2in, c2out=c2out,
+        n_time=n_time)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full, full,
+        ],
+        out_specs=pl.BlockSpec((1, f_in * c2in, n_time), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, f_in * c2in, n_time), gy.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((f_out + 2) * c2out, n_time + 2), gy.dtype)],
+        interpret=interpret,
+    )(gy, we, wo)
+
+
+@functools.partial(jax.jit, static_argnames=("f_in", "c2in", "c2out",
+                                             "interpret"))
+def _enc_bwd_dw(z, gy, *, f_in, c2in, c2out, interpret):
+    batch, _, n_time = z.shape
+    f_out = f_in // 2
+    kernel = functools.partial(
+        _enc_bwd_dw_kernel, f_in=f_in, f_out=f_out, c2in=c2in, c2out=c2out,
+        n_time=n_time)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, f_in * c2in, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 5 * c2in, c2out), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, 5 * c2in, c2out),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((f_in + 4) * c2in, n_time + 1), z.dtype)],
+        interpret=interpret,
+    )(z, gy)
+    # [B, jt, jf*C2in, C2out] summed over B -> [5, 2, C2in, C2out]
+    total = jnp.sum(dw, axis=0).reshape(2, 5, c2in, c2out)
+    return jnp.transpose(total, (1, 0, 2, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("f_in", "c2x", "c2s", "c2out",
+                                             "interpret"))
+def _dec_bwd_gz(gy, w2, *, f_in, c2x, c2s, c2out, interpret):
+    batch, _, n_time = gy.shape
+    f_out = 2 * f_in
+    wx, ws = _dec_bwd_weights(w2, c2x, c2s, gy.dtype)
+    kernel = functools.partial(
+        _dec_bwd_gz_kernel, f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out,
+        n_time=n_time)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full, full,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, f_in * c2x, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_in * c2s, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, f_in * c2x, n_time), gy.dtype),
+            jax.ShapeDtypeStruct((batch, f_in * c2s, n_time), gy.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((f_out + 4) * c2out, n_time + 1), gy.dtype)],
+        interpret=interpret,
+    )(gy, wx, ws)
+
+
+@functools.partial(jax.jit, static_argnames=("f_in", "c2x", "c2s", "c2out",
+                                             "interpret"))
+def _dec_bwd_dw(zx, zs, gy, *, f_in, c2x, c2s, c2out, interpret):
+    batch, _, n_time = zx.shape
+    kernel = functools.partial(
+        _dec_bwd_dw_kernel, f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out,
+        n_time=n_time)
+    dwx, dws = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, f_in * c2x, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_in * c2s, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * f_in * c2out, n_time), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 5, 2, c2x, c2out), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, 2, c2s, c2out), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, 5, 2, c2x, c2out), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 5, 2, c2s, c2out), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((f_in * c2x, n_time + 1), zx.dtype),
+            pltpu.VMEM((f_in * c2s, n_time + 1), zs.dtype),
+        ],
+        interpret=interpret,
+    )(zx, zs, gy)
+    # reassemble the joined-kernel gradient [5, 2, C2x+C2s, C2out] in the
+    # complex-cat channel order [xr, sr, xi, si]
+    cx, cs = c2x // 2, c2s // 2
+    dwx = jnp.sum(dwx, axis=0)
+    dws = jnp.sum(dws, axis=0)
+    return jnp.concatenate([
+        dwx[:, :, :cx], dws[:, :, :cs], dwx[:, :, cx:], dws[:, :, cs:]
+    ], axis=2)
+
+
+# --------------------------------------------------------------------------
+# XLA-side backward pieces (lane-efficient in the [B, F, C2, T] layout)
+# --------------------------------------------------------------------------
+
+def _swap_parts(arr):
+    """partner() over [B, F, C2, T]: swap the stacked r/i channel halves."""
+    c = arr.shape[2] // 2
+    return jnp.concatenate([arr[:, :, c:], arr[:, :, :c]], axis=2)
+
+
+def _stats_cotangent(gp, y, f_out, c2out):
+    """g_y contribution of the stats-partials cotangent.
+
+    partials rows per item: [sum yr, sum yi, sum yr^2, sum yi^2, sum yr*yi]
+    => d/dy_r = gp0 + 2 yr gp2 + yi gp4 ;  d/dy_i = gp1 + 2 yi gp3 + yr gp4.
+    """
+    batch, _, n_time = y.shape
+    yb = y.reshape(batch, f_out, c2out, n_time).astype(jnp.float32)
+    c = c2out // 2
+    yr, yi = yb[:, :, :c], yb[:, :, c:]
+    gp0 = gp[:, 0].astype(jnp.float32)[:, None, :, None]
+    gp1 = gp[:, 1].astype(jnp.float32)[:, None, :, None]
+    gp2 = gp[:, 2].astype(jnp.float32)[:, None, :, None]
+    gp3 = gp[:, 3].astype(jnp.float32)[:, None, :, None]
+    gp4 = gp[:, 4].astype(jnp.float32)[:, None, :, None]
+    g_yr = gp0 + 2.0 * yr * gp2 + yi * gp4
+    g_yi = gp1 + 2.0 * yi * gp3 + yr * gp4
+    out = jnp.concatenate([g_yr, g_yi], axis=2)
+    return out.reshape(batch, f_out * c2out, n_time)
+
+
+def _pointwise_bwd(g_z, x, a_diag, a_cross, c0, alpha, f, c2):
+    """VJP of z = PReLU(a_diag*x + a_cross*partner(x) + c0) in XLA.
+
+    g_z, x: [B, f*c2, T]. Returns (g_x [B, f*c2, T], d_ad[c2], d_ac[c2],
+    d_c0[c2], d_alpha[1]) — coefficient grads reduced over (B, f, T).
+    """
+    batch, _, n_time = x.shape
+    xb = x.reshape(batch, f, c2, n_time).astype(jnp.float32)
+    gzb = g_z.reshape(batch, f, c2, n_time).astype(jnp.float32)
+    d = a_diag.astype(jnp.float32)[None, None, :, None]
+    k = a_cross.astype(jnp.float32)[None, None, :, None]
+    b = c0.astype(jnp.float32)[None, None, :, None]
+    v = d * xb + k * _swap_parts(xb) + b
+    slope = jnp.where(v >= 0, 1.0, alpha.astype(jnp.float32)[0])
+    gv = gzb * slope
+    g_x = d * gv + _swap_parts(k * gv)
+    d_ad = jnp.sum(gv * xb, axis=(0, 1, 3))
+    d_ac = jnp.sum(gv * _swap_parts(xb), axis=(0, 1, 3))
+    d_c0 = jnp.sum(gv, axis=(0, 1, 3))
+    d_alpha = jnp.sum(gzb * jnp.where(v < 0, v, 0.0)).reshape(1)
+    z = jnp.where(v >= 0, v, alpha.astype(jnp.float32)[0] * v)
+    return (g_x.reshape(batch, f * c2, n_time), z.reshape(batch, f * c2, n_time),
+            d_ad, d_ac, d_c0, d_alpha)
+
+
+# --------------------------------------------------------------------------
+# custom-VJP training ops
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def conv_block_train(f_in, c2in, c2out, interpret, x, w2, b2,
+                     a_diag, a_cross, c0, alpha):
+    """Training-mode fused encoder block: (y, stats_partials) with exact
+    gradients. The stats->coeff chain outside this op closes the complex-BN
+    backward automatically."""
+    return fused_conv_block(
+        x, w2, b2, a_diag, a_cross, c0, alpha, f_in=f_in, c2in=c2in,
+        c2out=c2out, with_stats=True, interpret=interpret)
+
+
+def _conv_block_train_fwd(f_in, c2in, c2out, interpret, x, w2, b2,
+                          a_diag, a_cross, c0, alpha):
+    y, partials = fused_conv_block(
+        x, w2, b2, a_diag, a_cross, c0, alpha, f_in=f_in, c2in=c2in,
+        c2out=c2out, with_stats=True, interpret=interpret)
+    return (y, partials), (x, w2, a_diag, a_cross, c0, alpha, y)
+
+
+def _conv_block_train_bwd(f_in, c2in, c2out, interpret, res, cts):
+    x, w2, a_diag, a_cross, c0, alpha, y = res
+    g_y, g_p = cts
+    f_out = f_in // 2
+    g_y_eff = (g_y.astype(jnp.float32).reshape(y.shape)
+               + _stats_cotangent(g_p, y, f_out, c2out)).astype(x.dtype)
+    batch, _, n_time = x.shape
+    db = jnp.sum(
+        g_y_eff.astype(jnp.float32).reshape(batch, f_out, c2out, n_time),
+        axis=(0, 1, 3))
+    g_z = _enc_bwd_gz(g_y_eff, w2, f_in=f_in, c2in=c2in, c2out=c2out,
+                      interpret=interpret)
+    g_x, z, d_ad, d_ac, d_c0, d_alpha = _pointwise_bwd(
+        g_z, x, a_diag, a_cross, c0, alpha, f_in, c2in)
+    dw2 = _enc_bwd_dw(z.astype(x.dtype), g_y_eff, f_in=f_in, c2in=c2in,
+                      c2out=c2out, interpret=interpret)
+    return (g_x.astype(x.dtype), dw2.astype(w2.dtype), db, d_ad, d_ac, d_c0,
+            d_alpha)
+
+
+conv_block_train.defvjp(_conv_block_train_fwd, _conv_block_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def deconv_block_train(f_in, c2x, c2s, c2out, interpret, x, skip, w2, b2,
+                       adx, acx, c0x, alpha_x, ads, acs, c0s, alpha_s):
+    """Training-mode fused decoder block (skip join + transposed conv)."""
+    return fused_deconv_block(
+        x, skip, w2, b2, (adx, acx, c0x), alpha_x, (ads, acs, c0s), alpha_s,
+        f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out, with_stats=True,
+        interpret=interpret)
+
+
+def _deconv_block_train_fwd(f_in, c2x, c2s, c2out, interpret, x, skip, w2,
+                            b2, adx, acx, c0x, alpha_x, ads, acs, c0s,
+                            alpha_s):
+    y, partials = fused_deconv_block(
+        x, skip, w2, b2, (adx, acx, c0x), alpha_x, (ads, acs, c0s), alpha_s,
+        f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out, with_stats=True,
+        interpret=interpret)
+    return (y, partials), (x, skip, w2, adx, acx, c0x, alpha_x,
+                           ads, acs, c0s, alpha_s, y)
+
+
+def _deconv_block_train_bwd(f_in, c2x, c2s, c2out, interpret, res, cts):
+    (x, skip, w2, adx, acx, c0x, alpha_x, ads, acs, c0s, alpha_s, y) = res
+    g_y, g_p = cts
+    f_out = 2 * f_in
+    g_y_eff = (g_y.astype(jnp.float32).reshape(y.shape)
+               + _stats_cotangent(g_p, y, f_out, c2out)).astype(x.dtype)
+    batch, _, n_time = x.shape
+    db = jnp.sum(
+        g_y_eff.astype(jnp.float32).reshape(batch, f_out, c2out, n_time),
+        axis=(0, 1, 3))
+    g_zx, g_zs = _dec_bwd_gz(g_y_eff, w2, f_in=f_in, c2x=c2x, c2s=c2s,
+                             c2out=c2out, interpret=interpret)
+    g_x, zx, d_adx, d_acx, d_c0x, d_ax = _pointwise_bwd(
+        g_zx, x, adx, acx, c0x, alpha_x, f_in, c2x)
+    g_s, zs, d_ads, d_acs, d_c0s, d_as = _pointwise_bwd(
+        g_zs, skip, ads, acs, c0s, alpha_s, f_in, c2s)
+    dw2 = _dec_bwd_dw(zx.astype(x.dtype), zs.astype(x.dtype), g_y_eff,
+                      f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out,
+                      interpret=interpret)
+    return (g_x.astype(x.dtype), g_s.astype(skip.dtype), dw2.astype(w2.dtype),
+            db, d_adx, d_acx, d_c0x, d_ax, d_ads, d_acs, d_c0s, d_as)
+
+
+deconv_block_train.defvjp(_deconv_block_train_fwd, _deconv_block_train_bwd)

@@ -72,3 +72,42 @@ def test_train_forward_and_stats_match(wav, variables):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
             err_msg=f"batch stat mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_train_gradients_match(wav, variables):
+    """Full-model gradient parity: custom-VJP fused path vs XLA autodiff."""
+    target = wav * 0.5
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                wav, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean((out - target) ** 2)
+        return f
+
+    g_xla = jax.grad(loss_fn(DCCRN(**KW)))(variables["params"])
+    g_fused = jax.grad(loss_fn(DCCRN(use_fused_blocks="force", **KW)))(
+        variables["params"])
+    leaves_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    leaves_f = jax.tree_util.tree_leaves_with_path(g_fused)
+    assert [jax.tree_util.keystr(p) for p, _ in leaves_x] == [
+        jax.tree_util.keystr(p) for p, _ in leaves_f]
+    global_scale = max(
+        float(np.abs(np.asarray(v)).max()) for _, v in leaves_x)
+    for (path, a), (_, b) in zip(leaves_x, leaves_f):
+        a, b = np.asarray(a), np.asarray(b)
+        name = jax.tree_util.keystr(path)
+        zero_grad_bias = (("['br']" in name or "['bi']" in name)
+                          and "dec_5" not in name)
+        if zero_grad_bias:
+            # a conv bias followed by CBN has exactly-zero true gradient
+            # (mean subtraction cancels it); both paths produce only f32
+            # cancellation residue, so compare against the global scale.
+            scale = global_scale
+        else:
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=2e-3,
+            err_msg=f"grad mismatch at {name}")
