@@ -22,7 +22,11 @@ Configuration benched = the framework's TPU fast path:
     lax.scan (the Solver feature; amortizes the ~30 ms axon relay dispatch
     overhead). Measured ladder: 76.3 (r1 fast path) -> 74.9 (stacked)
     -> 72.8 (scan16) -> 67.8 (named saves) -> 65.4 ms/step (folded CBN,
-    a win only in combination with the named-saves policy) on v5e.
+    a win only in combination with the named-saves policy) on v5e,
+  * batch 128 — the round-3 sweep knee (tools/bench_batch_sweep.py):
+    batch 16/32/64/128 -> 244.8/243.8/270.9/426.6 utt/s/chip; batch 256
+    OOMs the 16 GB HBM. Per-chip throughput is the BASELINE.md metric, so
+    the headline operating point is the sweep winner, not batch 16.
 Throughput is total utterances / total wall time; each dispatch is synced
 by fetching the loss (block_until_ready lies under the axon relay).
 
@@ -49,7 +53,7 @@ try:
 except Exception:
     pass
 
-BATCH = 16
+BATCH = 128
 SECONDS = 4
 SR = 16000
 STEPS_PER_CALL = 16
@@ -155,7 +159,7 @@ def main():
     print(json.dumps({
         "metric": "dccrn_train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
-        "unit": "utterances/sec/chip (4s@16kHz, batch 16, fwd+bwd+adam)",
+        "unit": "utterances/sec/chip (4s@16kHz, batch 128, fwd+bwd+adam)",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extra": {"step_seconds": round(dt, 4), "real_time_factor": round(rtf, 1),
                   "steps_per_call": STEPS_PER_CALL,
