@@ -398,7 +398,7 @@ class DCCRN(nn.Module):
                 y, partials = cb.conv_block_train(
                     f, c2in, features, interpret, x, w2, b2, *coef, alpha)
                 stats = cb.stats_from_partials(
-                    partials, batch * (f // 2) * n_time)
+                    partials, features, batch * (f // 2) * n_time)
                 blk.cbn.update(stats)
             else:
                 y = cb.fused_conv_block(
@@ -465,7 +465,7 @@ class DCCRN(nn.Module):
                     *xcoef, xalpha, *scoef, salpha)
                 if not last:
                     stats = cb.stats_from_partials(
-                        partials, batch * (2 * f) * n_time)
+                        partials, features, batch * (2 * f) * n_time)
                     blk.cbn.update(stats)
             else:
                 y = cb.fused_deconv_block(

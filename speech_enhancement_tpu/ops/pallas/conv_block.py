@@ -1,4 +1,4 @@
-"""Fused DCCRN complex-conv block kernels (Pallas TPU).
+"""Fused DCCRN complex-conv block kernels (Pallas TPU), blocked-banded.
 
 Why: round-2 profiling put the DCCRN train step at 63-65 ms with
 elementwise fusions (25.6 ms) + layout-conversion copies (16.1 ms) = 2/3 of
@@ -19,22 +19,30 @@ order). One kernel per block computes
 
 so the only HBM tensors between blocks are the conv outputs themselves.
 
-The (f, c)-flattened rows make the conv a row-span matmul: the 5 freq taps
-x C2in channels of one output row are CONTIGUOUS rows of z, so
+Blocked-banded matmuls: the first on-TPU build issued one small matmul per
+output frequency row (f_out x taps issues per kernel, 256-1024 for the
+shallow layers) and measured 0.6-2 ms per block — dominated by fixed MXU
+issue overhead, not FLOPs. Instead, G output rows are computed per issue
+against a statically BANDED weight matrix: for the stride-2 encoder conv,
+W_band[(2G+3)*C2in, G*C2out] embeds the 5-tap kernel at row offset 2g for
+output g, so
 
-    y[fo] = sum_{jt in 0,1} W_jt[5*C2in, C2out]^T @ z_span(fo)[:, jt-shift]
+    y[gG..(g+1)G) = sum_{jt} W_band[jt]^T @ z_window[:, jt_shift]
 
-— two MXU calls per output row, no im2col tensor, freq boundaries as zero
-row-groups in the scratch, the causal time tap as a leading zero lane
-column. The decoder (stride-2 transposed conv + complex-cat skip join,
-models/dccrn.py:399-404) splits each tap matmul into an x-part and a
-skip-part against two scratch regions, so the channel concat never exists
-anywhere — not even in VMEM.
+Zero-rows in the band waste (2G+3)/5 x FLOPs — free at ~1% MFU — and cut
+issue counts ~16x. G is chosen per layer by minimizing modeled time
+(banded FLOPs / MXU rate + fixed per-issue cost) under a VMEM byte budget;
+G=1 degenerates to the unbanded kernel. The decoder (stride-2 transposed
+conv + complex-cat skip join, models/dccrn.py:399-404) bands its two
+parity classes (even rows: 3 taps, odd: 2) into one matrix per joined
+region, so the channel concat never exists anywhere — not even in VMEM.
 
-Training-mode CBN batch statistics are emitted per batch item as partial
-sums ([B, 8, C]); XLA reduces those vectors and folds coefficients between
-kernels (fold_cbn_coeffs / stats_from_partials). Parameters are identical
-to the XLA path (models/dccrn.py _ComplexConvBlock) — this is an execution
+Training-mode CBN batch statistics are emitted as PER-ROW partial sums
+[B, R_out, 8] (lanes 0..2 = sum y, sum y^2, sum y*partner over time; the
+partner of a row is its complex counterpart +-C inside the frequency
+group), reduced to the CBN batch moments by XLA (stats_from_partials) and
+folded between kernels (fold_cbn_coeffs). Parameters are identical to the
+XLA path (models/dccrn.py _ComplexConvBlock) — this is an execution
 strategy, not a new model.
 
 Reference semantics: src/model/dccrn.py:316-450 (complex conv/deconv with
@@ -49,6 +57,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,20 +107,26 @@ def identity_coeffs(c2: int, dtype=jnp.float32):
             jnp.zeros((c2,), dtype))
 
 
-def stats_from_partials(partials: jnp.ndarray, n_per_channel: int):
-    """[B, 8, C] kernel partial sums -> CBN batch stats dict.
+def stats_from_partials(partials: jnp.ndarray, c2out: int,
+                        n_per_channel: int):
+    """[B, R_out, 8] per-row kernel partial sums -> CBN batch stats dict.
 
-    Rows 0..4 are sum_r, sum_i, sum_rr, sum_ii, sum_ri over (F_out, T) per
-    complex channel; n_per_channel = B * F_out * T. Variances use the
-    one-pass E[x^2]-E[x]^2 form exactly like ComplexBatchNorm._folded.
+    Lanes 0..2 of each output row hold sum(y), sum(y^2), sum(y*partner)
+    over time; n_per_channel = B * F_out * T. Variances use the one-pass
+    E[x^2]-E[x]^2 form exactly like ComplexBatchNorm._folded. The cross
+    moment is read from the r-half rows (the i-half rows carry the same
+    products).
     """
-    total = jnp.sum(partials.astype(jnp.float32), axis=0)  # [8, C]
+    total = jnp.sum(partials.astype(jnp.float32), axis=0)  # [R, 8]
+    f_out = total.shape[0] // c2out
+    per = total.reshape(f_out, c2out, 8).sum(axis=0)  # [c2out, 8]
+    c = c2out // 2
     inv_n = 1.0 / float(n_per_channel)
-    mean_r = total[0] * inv_n
-    mean_i = total[1] * inv_n
-    vrr = jnp.maximum(total[2] * inv_n - mean_r * mean_r, 0.0)
-    vii = jnp.maximum(total[3] * inv_n - mean_i * mean_i, 0.0)
-    vri = total[4] * inv_n - mean_r * mean_i
+    mean_r = per[:c, 0] * inv_n
+    mean_i = per[c:, 0] * inv_n
+    vrr = jnp.maximum(per[:c, 1] * inv_n - mean_r * mean_r, 0.0)
+    vii = jnp.maximum(per[c:, 1] * inv_n - mean_i * mean_i, 0.0)
+    vri = per[:c, 2] * inv_n - mean_r * mean_i
     return {"mean_r": mean_r, "mean_i": mean_i, "vrr": vrr, "vii": vii,
             "vri": vri}
 
@@ -125,6 +140,12 @@ def _pointwise(x, coef, mask, alpha, c: int):
     r-half rows; c = channels per complex part. partner(row) = row +- c
     inside each frequency group — uniform rolls selected by the half mask
     (wrapped lanes are never selected: row < c is always an r-half row)."""
+    out_dtype = x.dtype
+    # Mosaic rotates/extracts are 32-bit only: do the pointwise in f32
+    # (in-VMEM cost only; also matches the XLA reference's f32 coeff math)
+    x = x.astype(jnp.float32)
+    coef = coef.astype(jnp.float32)
+    alpha = jnp.asarray(alpha).astype(jnp.float32)
     rows = x.shape[0]
     partner = jnp.where(
         mask > 0.5,
@@ -132,7 +153,7 @@ def _pointwise(x, coef, mask, alpha, c: int):
         pltpu.roll(x, c, axis=0),
     )
     z = coef[0] * x + coef[1] * partner + coef[2]
-    return jnp.where(z >= 0, z, alpha * z)
+    return jnp.where(z >= 0, z, alpha * z).astype(out_dtype)
 
 
 def _pointwise_ref(x, a_diag, a_cross, c0, alpha):
@@ -147,18 +168,137 @@ def _pointwise_ref(x, a_diag, a_cross, c0, alpha):
     return jnp.where(z >= 0, z, alpha * z)
 
 
-def _stats_rows(acc, c2out: int):
-    """Per-channel partial sums from one output row: [5, C] f32."""
+def _write_stats(stats_ref, acc, smask, row0: int, c2out: int):
+    """Per-row stat partials of one output block: lanes (sum y, sum y^2,
+    sum y*partner, 0...). acc: [G*c2out, T] f32; smask selects the roll
+    direction per row half exactly like _pointwise."""
+    rows = acc.shape[0]
     c = c2out // 2
-    yr = acc[0:c]
-    yi = acc[c:c2out]
-    return jnp.stack([
-        jnp.sum(yr, axis=-1),
-        jnp.sum(yi, axis=-1),
-        jnp.sum(yr * yr, axis=-1),
-        jnp.sum(yi * yi, axis=-1),
-        jnp.sum(yr * yi, axis=-1),
-    ])
+    partner = jnp.where(
+        smask > 0.5,
+        pltpu.roll(acc, rows - c, axis=0),
+        pltpu.roll(acc, c, axis=0),
+    )
+    s0 = jnp.sum(acc, axis=-1, keepdims=True)
+    s1 = jnp.sum(acc * acc, axis=-1, keepdims=True)
+    s2 = jnp.sum(acc * partner, axis=-1, keepdims=True)
+    pad = jnp.zeros((rows, 5), acc.dtype)
+    stats_ref[0, pl.ds(row0, rows), :] = jnp.concatenate(
+        [s0, s1, s2, pad], axis=1)
+
+
+# --------------------------------------------------------------------------
+# banded weight builders + group-size selection
+# --------------------------------------------------------------------------
+
+# VMEM byte budget per banded matrix (f32 accounting — the dw accumulators
+# are the largest instance); beyond it smaller G is forced.
+_BAND_BUDGET = 8 << 20
+# Fixed per-matmul-issue cost observed on v5e through this kernel style
+# (~2 us: issue + scratch-slice setup); the G picker trades banded zero
+# FLOPs against it.
+_ISSUE_COST_S = 2e-6
+_MXU_RATE = 1e14  # effective bf16 FLOP/s assumed for the model (~50% peak)
+
+
+def _pick_g_stride(f_out: int, c2in: int, c2out: int, n_time: int,
+                   taps: int = 2) -> int:
+    """Group size for stride-2 'encoder-style' bands (window 2G+3)."""
+    best_g, best_t = 1, None
+    for g in (32, 16, 8, 4, 2, 1):
+        if f_out % g:
+            continue
+        rows, cols = (2 * g + 3) * c2in, g * c2out
+        if rows * cols * 4 > _BAND_BUDGET:
+            continue
+        est = (f_out // g) * taps * (
+            rows * cols * n_time * 2 / _MXU_RATE + _ISSUE_COST_S)
+        if best_t is None or est < best_t:
+            best_g, best_t = g, est
+    return best_g
+
+
+def _pick_g_parity(f_out: int, c2_regions, c2out: int, n_time: int) -> int:
+    """Group size for parity-banded 'decoder-style' bands (window G/2+2).
+
+    c2_regions: per-region input row counts (one entry per 2-tap matmul
+    pair). G must be even — the band interleaves both parity classes.
+    """
+    best_g, best_t = 2, None
+    for g in (32, 16, 8, 4, 2):
+        if f_out % g:
+            continue
+        cols = g * c2out
+        if max(c2_regions) * (g // 2 + 2) * cols * 4 > _BAND_BUDGET:
+            continue
+        est = 0.0
+        for c2r in c2_regions:
+            rows = (g // 2 + 2) * c2r
+            est += (f_out // g) * 2 * (
+                rows * cols * n_time * 2 / _MXU_RATE + _ISSUE_COST_S)
+        if best_t is None or est < best_t:
+            best_g, best_t = g, est
+    return best_g
+
+
+def _stride_band(w5: jnp.ndarray, G: int, dtype):
+    """[2, 5*c2r, C] tap stack (5 consecutive input groups, ascending) ->
+    banded [2, (2G+3)*c2r, G*C]: output group g's window sits at input-group
+    offset 2g."""
+    kw, rows5, cols = w5.shape
+    c2r = rows5 // 5
+    w5r = w5.astype(jnp.float32).reshape(kw, 5, c2r, cols)
+    w = jnp.zeros((kw, 2 * G + 3, c2r, G, cols), jnp.float32)
+    for g in range(G):
+        w = w.at[:, 2 * g:2 * g + 5, :, g, :].set(w5r)
+    return w.reshape(kw, (2 * G + 3) * c2r, G * cols).astype(dtype)
+
+
+def _parity_band(we: jnp.ndarray, wo: jnp.ndarray, G: int, dtype):
+    """Even/odd tap stacks ([2, 3*c2r, C] / [2, 2*c2r, C]) -> banded
+    [2, (G/2+2)*c2r, G*C]: even output g at input-group offset g/2 (span 3),
+    odd g at (g+1)/2 (span 2). G must be even."""
+    assert G % 2 == 0, G
+    kw, rows3, cols = we.shape
+    c2r = rows3 // 3
+    we_r = we.astype(jnp.float32).reshape(kw, 3, c2r, cols)
+    wo_r = wo.astype(jnp.float32).reshape(kw, 2, c2r, cols)
+    w = jnp.zeros((kw, G // 2 + 2, c2r, G, cols), jnp.float32)
+    for g in range(G):
+        if g % 2 == 0:
+            w = w.at[:, g // 2:g // 2 + 3, :, g, :].set(we_r)
+        else:
+            w = w.at[:, (g + 1) // 2:(g + 1) // 2 + 2, :, g, :].set(wo_r)
+    return w.reshape(kw, (G // 2 + 2) * c2r, G * cols).astype(dtype)
+
+
+def _sel_stride(G: int) -> jnp.ndarray:
+    """One-hot [5, 2G+3, G] mapping banded dW rows back to the 5 freq taps
+    (inverse of _stride_band's placement)."""
+    s = np.zeros((5, 2 * G + 3, G), np.float32)
+    for g in range(G):
+        for jf in range(5):
+            s[jf, 2 * g + jf, g] = 1.0
+    return jnp.asarray(s)
+
+
+def _sel_parity(G: int, even_taps, odd_taps) -> jnp.ndarray:
+    """One-hot [5, G/2+2, G] inverting _parity_band's placement; even_taps/
+    odd_taps give the jf owning each stacked row (e.g. (0,2,4) / (1,3))."""
+    s = np.zeros((5, G // 2 + 2, G), np.float32)
+    for g in range(G):
+        if g % 2 == 0:
+            for k, jf in enumerate(even_taps):
+                s[jf, g // 2 + k, g] = 1.0
+        else:
+            for k, jf in enumerate(odd_taps):
+                s[jf, (g + 1) // 2 + k, g] = 1.0
+    return jnp.asarray(s)
+
+
+# Blocks + scratches of the big encoder layers exceed the 16 MB default
+# scoped-vmem budget by a hair; v5e has headroom above it.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _matmul(w, rhs):
@@ -172,8 +312,8 @@ def _matmul(w, rhs):
 # --------------------------------------------------------------------------
 
 def _enc_kernel(x_ref, w_ref, b_ref, coef_ref, mask_ref, alpha_ref,
-                y_ref, stats_ref, z_scr, *,
-                f_in, f_out, c2in, c2out, n_time, with_stats):
+                smask_ref, y_ref, stats_ref, z_scr, *,
+                f_in, f_out, c2in, c2out, n_time, G, with_stats):
     c = c2in // 2
     x = x_ref[0]
     z = _pointwise(x, coef_ref[...], mask_ref[...], alpha_ref[0, 0], c)
@@ -182,22 +322,18 @@ def _enc_kernel(x_ref, w_ref, b_ref, coef_ref, mask_ref, alpha_ref,
     pad_rows = 2 * c2in
     z_scr[...] = jnp.zeros(z_scr.shape, z_scr.dtype)
     z_scr[pl.ds(pad_rows, f_in * c2in), pl.ds(1, n_time)] = z
-    bias = b_ref[...]  # [C2outp, 1]
-    if with_stats:
-        stat_acc = jnp.zeros((5, c2out // 2), jnp.float32)
-    span = 5 * c2in
-    for fo in range(f_out):
-        r0 = 2 * fo * c2in  # group (2*fo - 2) + 2 pad groups
-        # y[fo, t] = sum_jt W_jt^T z[2fo+jf-2, t+jt-1]  (correlation, causal)
+    bias = b_ref[...]  # [G*C2out, 1]
+    span = (2 * G + 3) * c2in
+    for blk in range(f_out // G):
+        r0 = 2 * blk * G * c2in
+        # y window = sum_jt W_band_jt^T z_window[:, jt-shift] (causal corr.)
         acc = _matmul(w_ref[0], z_scr[pl.ds(r0, span), pl.ds(0, n_time)])
         acc += _matmul(w_ref[1], z_scr[pl.ds(r0, span), pl.ds(1, n_time)])
-        acc = acc[:c2out] + bias[:c2out]
-        y_ref[0, pl.ds(fo * c2out, c2out), :] = acc.astype(y_ref.dtype)
+        acc = acc + bias
+        y_ref[0, pl.ds(blk * G * c2out, G * c2out), :] = acc.astype(y_ref.dtype)
         if with_stats:
-            stat_acc = stat_acc + _stats_rows(acc, c2out)
-    if with_stats:
-        stats_ref[0, 0:5] = stat_acc
-        stats_ref[0, 5:8] = jnp.zeros((3, c2out // 2), jnp.float32)
+            _write_stats(stats_ref, acc, smask_ref[...], blk * G * c2out,
+                         c2out)
 
 
 # --------------------------------------------------------------------------
@@ -205,18 +341,20 @@ def _enc_kernel(x_ref, w_ref, b_ref, coef_ref, mask_ref, alpha_ref,
 # with the complex-cat skip join assembled implicitly via split weights
 # --------------------------------------------------------------------------
 
-def _dec_kernel(x_ref, s_ref, we_x_ref, we_s_ref, wo_x_ref, wo_s_ref, b_ref,
+def _dec_kernel(x_ref, s_ref, wx_ref, ws_ref, b_ref,
                 coef_x_ref, mask_x_ref, alpha_x_ref,
-                coef_s_ref, mask_s_ref, alpha_s_ref,
+                coef_s_ref, mask_s_ref, alpha_s_ref, smask_ref,
                 y_ref, stats_ref, zx_scr, zs_scr, *,
-                f_in, f_out, c2x, c2s, c2out, n_time, with_stats):
+                f_in, f_out, c2x, c2s, c2out, n_time, G, with_stats):
     """y[fo, to] = sum_{jf: fo+jf even} sum_jt k[jf, jt] z[(fo+jf-2)/2, to+jt]
 
     (lax.conv_transpose VALID, stride (2,1), then y[2:-1] freq crop and
     [1:] time chomp — models/dccrn.py:218-229). Channel order of the joined
-    input is [xr, skip_r, xi, skip_i]; instead of concatenating, each tap
-    matmul is split into an x-part and a skip-part with weight rows
-    reordered to match (the contraction is permutation-invariant).
+    input is [xr, skip_r, xi, skip_i]; instead of concatenating, each
+    banded matmul is split into an x-part and a skip-part with weight rows
+    reordered to match (the contraction is permutation-invariant). Both
+    parity classes (even fo: taps jf 0,2,4; odd: 1,3) live in one parity
+    band per region.
     """
     cx = c2x // 2
     cs = c2s // 2
@@ -224,39 +362,29 @@ def _dec_kernel(x_ref, s_ref, we_x_ref, we_s_ref, wo_x_ref, wo_s_ref, b_ref,
                     alpha_x_ref[0, 0], cx)
     zs = _pointwise(s_ref[0], coef_s_ref[...], mask_s_ref[...],
                     alpha_s_ref[0, 0], cs)
-    # scratch: 1 zero freq group each side; lane 0 zero; lane T+1 absent —
-    # the jt=1 tap's final column (z[F..]) is handled by a trailing zero
-    # lane column instead: [.., T+2] with both lane 0 and lane T+1 zero.
+    # scratch: 1 zero freq group each side; lane 0 zero; the jt=1 tap's
+    # final column (z[T..]) is a trailing zero lane: [.., T+2] with both
+    # lane 0 and lane T+1 zero.
     zx_scr[...] = jnp.zeros(zx_scr.shape, zx_scr.dtype)
     zs_scr[...] = jnp.zeros(zs_scr.shape, zs_scr.dtype)
     zx_scr[pl.ds(c2x, f_in * c2x), pl.ds(1, n_time)] = zx
     zs_scr[pl.ds(c2s, f_in * c2s), pl.ds(1, n_time)] = zs
     bias = b_ref[...]
-    if with_stats:
-        stat_acc = jnp.zeros((5, c2out // 2), jnp.float32)
-    for fo in range(f_out):
-        if fo % 2 == 0:
-            fi0 = fo // 2
-            rx, rs = fi0 * c2x, fi0 * c2s  # group (fi0 - 1) + 1 pad group
-            span_x, span_s = 3 * c2x, 3 * c2s
-            wx, ws = we_x_ref, we_s_ref
-        else:
-            fi0 = (fo - 1) // 2
-            rx, rs = (fi0 + 1) * c2x, (fi0 + 1) * c2s
-            span_x, span_s = 2 * c2x, 2 * c2s
-            wx, ws = wo_x_ref, wo_s_ref
+    span_x = (G // 2 + 2) * c2x
+    span_s = (G // 2 + 2) * c2s
+    for blk in range(f_out // G):
+        fi0 = blk * G // 2
+        rx, rs = fi0 * c2x, fi0 * c2s
         # jt = 0 -> z[.., to] (scratch lane to+1);  jt = 1 -> z[.., to+1]
-        acc = _matmul(wx[0], zx_scr[pl.ds(rx, span_x), pl.ds(1, n_time)])
-        acc += _matmul(wx[1], zx_scr[pl.ds(rx, span_x), pl.ds(2, n_time)])
-        acc += _matmul(ws[0], zs_scr[pl.ds(rs, span_s), pl.ds(1, n_time)])
-        acc += _matmul(ws[1], zs_scr[pl.ds(rs, span_s), pl.ds(2, n_time)])
-        acc = acc[:c2out] + bias[:c2out]
-        y_ref[0, pl.ds(fo * c2out, c2out), :] = acc.astype(y_ref.dtype)
+        acc = _matmul(wx_ref[0], zx_scr[pl.ds(rx, span_x), pl.ds(1, n_time)])
+        acc += _matmul(wx_ref[1], zx_scr[pl.ds(rx, span_x), pl.ds(2, n_time)])
+        acc += _matmul(ws_ref[0], zs_scr[pl.ds(rs, span_s), pl.ds(1, n_time)])
+        acc += _matmul(ws_ref[1], zs_scr[pl.ds(rs, span_s), pl.ds(2, n_time)])
+        acc = acc + bias
+        y_ref[0, pl.ds(blk * G * c2out, G * c2out), :] = acc.astype(y_ref.dtype)
         if with_stats:
-            stat_acc = stat_acc + _stats_rows(acc, c2out)
-    if with_stats:
-        stats_ref[0, 0:5] = stat_acc
-        stats_ref[0, 5:8] = jnp.zeros((3, c2out // 2), jnp.float32)
+            _write_stats(stats_ref, acc, smask_ref[...], blk * G * c2out,
+                         c2out)
 
 
 # --------------------------------------------------------------------------
@@ -322,48 +450,49 @@ def fused_conv_block(x, w2, b2, a_diag, a_cross, c0, alpha, *,
     w2: [5, 2, c2in, c2out] block-matrix kernel; b2: [c2out];
     (a_diag, a_cross, c0): folded coeffs for the INPUT channels (identity
     for the first block); alpha: input PReLU scalar (1.0 = identity).
-    Returns y [B, (f_in//2)*c2out, T] (+ stats [B, 8, c2out//2]).
+    Returns y [B, (f_in//2)*c2out, T] (+ per-row stat partials
+    [B, (f_in//2)*c2out, 8]).
     """
     batch, rows, n_time = x.shape
     assert rows == f_in * c2in, (rows, f_in, c2in)
     f_out = f_in // 2
-    w = _enc_weights(w2, x.dtype)
-    bias = jnp.asarray(b2, jnp.float32)[:, None]
+    G = _pick_g_stride(f_out, c2in, c2out, n_time)
+    w = _stride_band(_enc_weights(w2, jnp.float32), G, x.dtype)
+    bias = jnp.tile(jnp.asarray(b2, jnp.float32), G)[:, None]
     coef = _tile_coeffs(a_diag, a_cross, c0, f_in, c2in, x.dtype)
     mask = _half_mask(f_in, c2in)
-    alpha = jnp.asarray(alpha, x.dtype).reshape(1, 1)
+    smask = _half_mask(G, c2out)
+    alpha = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
         _enc_kernel, f_in=f_in, f_out=f_out, c2in=c2in, c2out=c2out,
-        n_time=n_time, with_stats=with_stats,
+        n_time=n_time, G=G, with_stats=with_stats,
     )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     y, stats = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec((1, rows, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(bias.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(coef.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mask.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            full, full, full, full, full, full,
         ],
         out_specs=(
             pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, c2out // 2), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, f_out * c2out, 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, f_out * c2out, n_time), x.dtype),
-            jax.ShapeDtypeStruct((batch, 8, c2out // 2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, f_out * c2out, 8), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM(((f_in + 4) * c2in, n_time + 1), x.dtype)
         ],
         interpret=interpret,
-    )(x, w, bias, coef, mask, alpha)
+        compiler_params=_VMEM_LIMIT,
+    )(x, w, bias, coef, mask, alpha, smask)
     if with_stats:
         return y, stats
     return y
@@ -381,23 +510,27 @@ def fused_deconv_block(x, skip, w2, b2, coef_x, alpha_x, coef_s, alpha_s, *,
     x: [B, f_in*c2x, T]; skip: [B, f_in*c2s, T]; w2: [5, 2, c2x+c2s, c2out]
     with joined input-channel order [xr, sr, xi, si]; coef_x / coef_s:
     (a_diag, a_cross, c0) tuples for each input. Returns
-    y [B, (2*f_in)*c2out, T] (+ stats [B, 8, c2out//2]).
+    y [B, (2*f_in)*c2out, T] (+ per-row stat partials [B, 2*f_in*c2out, 8]).
     """
     batch, rows_x, n_time = x.shape
     assert rows_x == f_in * c2x
     f_out = 2 * f_in
-    we_x, we_s, wo_x, wo_s = _dec_weights(w2, c2x, c2s, x.dtype)
-    bias = jnp.asarray(b2, jnp.float32)[:, None]
+    G = _pick_g_parity(f_out, (c2x, c2s), c2out, n_time)
+    we_x, we_s, wo_x, wo_s = _dec_weights(w2, c2x, c2s, jnp.float32)
+    wx = _parity_band(we_x, wo_x, G, x.dtype)
+    ws = _parity_band(we_s, wo_s, G, x.dtype)
+    bias = jnp.tile(jnp.asarray(b2, jnp.float32), G)[:, None]
     cfx = _tile_coeffs(*coef_x, f_in, c2x, x.dtype)
     cfs = _tile_coeffs(*coef_s, f_in, c2s, x.dtype)
     mx = _half_mask(f_in, c2x)
     ms = _half_mask(f_in, c2s)
-    ax = jnp.asarray(alpha_x, x.dtype).reshape(1, 1)
-    a_s = jnp.asarray(alpha_s, x.dtype).reshape(1, 1)
+    smask = _half_mask(G, c2out)
+    ax = jnp.asarray(alpha_x, jnp.float32).reshape(1, 1)
+    a_s = jnp.asarray(alpha_s, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
         _dec_kernel, f_in=f_in, f_out=f_out, c2x=c2x, c2s=c2s, c2out=c2out,
-        n_time=n_time, with_stats=with_stats,
+        n_time=n_time, G=G, with_stats=with_stats,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     y, stats = pl.pallas_call(
@@ -408,25 +541,25 @@ def fused_deconv_block(x, skip, w2, b2, coef_x, alpha_x, coef_s, alpha_s, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_in * c2s, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            full, full, full, full, full, full, full, full, full, full, full,
+            full, full, full, full, full, full, full, full, full, full,
         ],
         out_specs=(
             pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, c2out // 2), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, f_out * c2out, 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, f_out * c2out, n_time), x.dtype),
-            jax.ShapeDtypeStruct((batch, 8, c2out // 2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, f_out * c2out, 8), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM(((f_in + 2) * c2x, n_time + 2), x.dtype),
             pltpu.VMEM(((f_in + 2) * c2s, n_time + 2), x.dtype),
         ],
         interpret=interpret,
-    )(x, skip, we_x, we_s, wo_x, wo_s, bias,
-      cfx, mx, ax, cfs, ms, a_s)
+        compiler_params=_VMEM_LIMIT,
+    )(x, skip, wx, ws, bias, cfx, mx, ax, cfs, ms, a_s, smask)
     if with_stats:
         return y, stats
     return y
@@ -464,47 +597,43 @@ def _enc_bwd_weights(w2: jnp.ndarray, dtype):
     return stack((4, 2, 0)), stack((3, 1))
 
 
-def _enc_bwd_gz_kernel(gy_ref, we_ref, wo_ref, gz_ref, gy_scr, *,
-                       f_in, f_out, c2in, c2out, n_time):
+def _enc_bwd_gz_kernel(gy_ref, w_ref, gz_ref, gy_scr, *,
+                       f_in, f_out, c2in, c2out, n_time, G):
     """g_z = conv^T(g_y) for the stride-(2,1) causal encoder conv.
 
     Time: y[to] consumed z[to + jt - 1]  =>  g_z[ti] += W_jt^T g_y[ti-jt+1];
     scratch holds g_y at lane cols [1..T] with cols 0 and T+1 zero, so the
-    jt tap reads cols [2-jt, 2-jt+T).
+    jt tap reads cols [2-jt, 2-jt+T). Structure is a stride-2 transposed
+    conv over frequency -> one parity band covers G input rows per issue.
     """
     gy_scr[...] = jnp.zeros(gy_scr.shape, gy_scr.dtype)
     gy_scr[pl.ds(c2out, f_out * c2out), pl.ds(1, n_time)] = gy_ref[0]
-    for fi in range(f_in):
-        if fi % 2 == 0:
-            r0 = (fi // 2) * c2out  # group (fi/2 - 1) + 1 pad group
-            span, w = 3 * c2out, we_ref
-        else:
-            r0 = ((fi - 1) // 2 + 1) * c2out
-            span, w = 2 * c2out, wo_ref
-        acc = _matmul(w[0], gy_scr[pl.ds(r0, span), pl.ds(2, n_time)])
-        acc += _matmul(w[1], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
-        gz_ref[0, pl.ds(fi * c2in, c2in), :] = acc[:c2in].astype(gz_ref.dtype)
+    span = (G // 2 + 2) * c2out
+    for blk in range(f_in // G):
+        r0 = (blk * G // 2) * c2out
+        acc = _matmul(w_ref[0], gy_scr[pl.ds(r0, span), pl.ds(2, n_time)])
+        acc += _matmul(w_ref[1], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
+        gz_ref[0, pl.ds(blk * G * c2in, G * c2in), :] = acc.astype(gz_ref.dtype)
 
 
 def _enc_bwd_dw_kernel(z_ref, gy_ref, dw_ref, z_scr, *,
-                       f_in, f_out, c2in, c2out, n_time):
-    """dW_jt[5*C2in, C2out] += z_span(fo)[:, jt-shift] @ g_y[fo]^T.
-
-    Contraction over the lane (time) axis; f32 accumulation directly in the
-    output VMEM block (one per batch item, summed over B by the caller).
+                       f_in, f_out, c2in, c2out, n_time, G):
+    """dW_band[jt] += z_window[:, jt-shift] @ g_y_block^T, accumulated over
+    output blocks (the band structure is block-invariant); the caller
+    extracts the 5 taps from the band (sel_stride) and sums over batch.
     """
     z_scr[...] = jnp.zeros(z_scr.shape, z_scr.dtype)
     z_scr[pl.ds(2 * c2in, f_in * c2in), pl.ds(1, n_time)] = z_ref[0]
-    span = 5 * c2in
+    span = (2 * G + 3) * c2in
     dw_ref[0] = jnp.zeros(dw_ref.shape[1:], dw_ref.dtype)
-    for fo in range(f_out):
-        r0 = 2 * fo * c2in
-        gy = gy_ref[0, pl.ds(fo * c2out, c2out), :]  # [C2out, T]
+    for blk in range(f_out // G):
+        r0 = 2 * blk * G * c2in
+        gy = gy_ref[0, pl.ds(blk * G * c2out, G * c2out), :]  # [G*C2out, T]
         for jt in range(2):
             zs = z_scr[pl.ds(r0, span), pl.ds(jt, n_time)]
             contrib = jax.lax.dot_general(
                 zs, gy, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [span, C2out]
+                preferred_element_type=jnp.float32)  # [span, G*C2out]
             dw_ref[0, jt] += contrib
 
 
@@ -530,60 +659,61 @@ def _dec_bwd_weights(w2: jnp.ndarray, c2x: int, c2s: int, dtype):
 
 
 def _dec_bwd_gz_kernel(gy_ref, wx_ref, ws_ref, gzx_ref, gzs_ref, gy_scr, *,
-                       f_in, c2x, c2s, c2out, n_time):
+                       f_in, c2x, c2s, c2out, n_time, G):
     """Input gradients of the decoder block for both joined regions.
 
     Time: y[to] consumed z[to + jt]  =>  g_z[ti] += k_jt^T g_y[ti - jt];
     scratch cols [1..T] hold g_y, col 0 zero, so the jt tap reads cols
-    [1-jt, 1-jt+T).
+    [1-jt, 1-jt+T). Frequency structure is encoder-like (each input row
+    sees 5 consecutive g_y groups at stride 2) -> one stride band covers
+    G input rows per issue.
     """
     f_out = 2 * f_in
     gy_scr[...] = jnp.zeros(gy_scr.shape, gy_scr.dtype)
     gy_scr[pl.ds(2 * c2out, f_out * c2out), pl.ds(1, n_time)] = gy_ref[0]
-    span = 5 * c2out
-    for fi in range(f_in):
-        r0 = 2 * fi * c2out  # group (2fi - 2) + 2 pad groups
+    span = (2 * G + 3) * c2out
+    for blk in range(f_in // G):
+        r0 = 2 * blk * G * c2out
         acc_x = _matmul(wx_ref[0], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
         acc_x += _matmul(wx_ref[1], gy_scr[pl.ds(r0, span), pl.ds(0, n_time)])
         acc_s = _matmul(ws_ref[0], gy_scr[pl.ds(r0, span), pl.ds(1, n_time)])
         acc_s += _matmul(ws_ref[1], gy_scr[pl.ds(r0, span), pl.ds(0, n_time)])
-        gzx_ref[0, pl.ds(fi * c2x, c2x), :] = acc_x[:c2x].astype(gzx_ref.dtype)
-        gzs_ref[0, pl.ds(fi * c2s, c2s), :] = acc_s[:c2s].astype(gzs_ref.dtype)
+        gzx_ref[0, pl.ds(blk * G * c2x, G * c2x), :] = acc_x.astype(gzx_ref.dtype)
+        gzs_ref[0, pl.ds(blk * G * c2s, G * c2s), :] = acc_s.astype(gzs_ref.dtype)
 
 
 def _dec_bwd_dw_kernel(zx_ref, zs_ref, gy_ref, dwx_ref, dws_ref,
                        zx_scr, zs_scr, *,
-                       f_in, c2x, c2s, c2out, n_time):
-    """Weight gradients of the decoder block, per joined region.
+                       f_in, c2x, c2s, c2out, n_time, G):
+    """Banded weight gradients of the decoder block, per joined region.
 
-    dK[jf, jt][cr, co] = sum_{fi, to} z[fi, cr, to + jt] g_y[2fi+2-jf, co, to]
-    with out-of-range g_y groups dropped statically. Scratch holds z at
-    cols [0..T) with col T zero (the jt=1 tap's final column).
+    dW_band[jt] += z_window[:, jt-shift] @ g_y_block^T with the forward's
+    parity-band window; the caller extracts the 5 taps (sel_parity) and
+    sums over batch. Scratch = the forward layout (z at cols 1..T, zero
+    cols 0 and T+1).
     """
     f_out = 2 * f_in
     zx_scr[...] = jnp.zeros(zx_scr.shape, zx_scr.dtype)
     zs_scr[...] = jnp.zeros(zs_scr.shape, zs_scr.dtype)
-    zx_scr[pl.ds(0, f_in * c2x), pl.ds(0, n_time)] = zx_ref[0]
-    zs_scr[pl.ds(0, f_in * c2s), pl.ds(0, n_time)] = zs_ref[0]
+    zx_scr[pl.ds(c2x, f_in * c2x), pl.ds(1, n_time)] = zx_ref[0]
+    zs_scr[pl.ds(c2s, f_in * c2s), pl.ds(1, n_time)] = zs_ref[0]
+    span_x = (G // 2 + 2) * c2x
+    span_s = (G // 2 + 2) * c2s
     dwx_ref[0] = jnp.zeros(dwx_ref.shape[1:], dwx_ref.dtype)
     dws_ref[0] = jnp.zeros(dws_ref.shape[1:], dws_ref.dtype)
-    for fi in range(f_in):
-        for jf in range(5):
-            fo = 2 * fi + 2 - jf
-            if fo < 0 or fo >= f_out:
-                continue
-            gy = gy_ref[0, pl.ds(fo * c2out, c2out), :]  # [C2out, T]
-            for jt in range(2):
-                zxs = zx_scr[pl.ds(fi * c2x, c2x), pl.ds(jt, n_time)]
-                zss = zs_scr[pl.ds(fi * c2s, c2s), pl.ds(jt, n_time)]
-                cx_contrib = jax.lax.dot_general(
-                    zxs, gy, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                cs_contrib = jax.lax.dot_general(
-                    zss, gy, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dwx_ref[0, jf, jt] += cx_contrib
-                dws_ref[0, jf, jt] += cs_contrib
+    for blk in range(f_out // G):
+        fi0 = blk * G // 2
+        rx, rs = fi0 * c2x, fi0 * c2s
+        gy = gy_ref[0, pl.ds(blk * G * c2out, G * c2out), :]  # [G*C2out, T]
+        for jt, col in ((0, 1), (1, 2)):
+            zxs = zx_scr[pl.ds(rx, span_x), pl.ds(col, n_time)]
+            zss = zs_scr[pl.ds(rs, span_s), pl.ds(col, n_time)]
+            dwx_ref[0, jt] += jax.lax.dot_general(
+                zxs, gy, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dws_ref[0, jt] += jax.lax.dot_general(
+                zss, gy, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -595,10 +725,12 @@ def _dec_bwd_dw_kernel(zx_ref, zs_ref, gy_ref, dwx_ref, dws_ref,
 def _enc_bwd_gz(gy, w2, *, f_in, c2in, c2out, interpret):
     batch, _, n_time = gy.shape
     f_out = f_in // 2
-    we, wo = _enc_bwd_weights(w2, gy.dtype)
+    G = _pick_g_parity(f_in, (c2out,), c2in, n_time)
+    we, wo = _enc_bwd_weights(w2, jnp.float32)
+    w = _parity_band(we, wo, G, gy.dtype)
     kernel = functools.partial(
         _enc_bwd_gz_kernel, f_in=f_in, f_out=f_out, c2in=c2in, c2out=c2out,
-        n_time=n_time)
+        n_time=n_time, G=G)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -606,7 +738,7 @@ def _enc_bwd_gz(gy, w2, *, f_in, c2in, c2out, interpret):
         in_specs=[
             pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            full, full,
+            full,
         ],
         out_specs=pl.BlockSpec((1, f_in * c2in, n_time), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -614,7 +746,8 @@ def _enc_bwd_gz(gy, w2, *, f_in, c2in, c2out, interpret):
         scratch_shapes=[
             pltpu.VMEM(((f_out + 2) * c2out, n_time + 2), gy.dtype)],
         interpret=interpret,
-    )(gy, we, wo)
+        compiler_params=_VMEM_LIMIT,
+    )(gy, w)
 
 
 @functools.partial(jax.jit, static_argnames=("f_in", "c2in", "c2out",
@@ -622,9 +755,11 @@ def _enc_bwd_gz(gy, w2, *, f_in, c2in, c2out, interpret):
 def _enc_bwd_dw(z, gy, *, f_in, c2in, c2out, interpret):
     batch, _, n_time = z.shape
     f_out = f_in // 2
+    G = _pick_g_stride(f_out, c2in, c2out, n_time)
     kernel = functools.partial(
         _enc_bwd_dw_kernel, f_in=f_in, f_out=f_out, c2in=c2in, c2out=c2out,
-        n_time=n_time)
+        n_time=n_time, G=G)
+    span = (2 * G + 3) * c2in
     dw = pl.pallas_call(
         kernel,
         grid=(batch,),
@@ -634,17 +769,20 @@ def _enc_bwd_dw(z, gy, *, f_in, c2in, c2out, interpret):
             pl.BlockSpec((1, f_out * c2out, n_time), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, 5 * c2in, c2out), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, span, G * c2out),
+                               lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 2, 5 * c2in, c2out),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, span, G * c2out),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(((f_in + 4) * c2in, n_time + 1), z.dtype)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(z, gy)
-    # [B, jt, jf*C2in, C2out] summed over B -> [5, 2, C2in, C2out]
-    total = jnp.sum(dw, axis=0).reshape(2, 5, c2in, c2out)
-    return jnp.transpose(total, (1, 0, 2, 3))
+    # [B, jt, (2G+3)*C2in, G*C2out] summed over B, then tap extraction:
+    # dW[jf, jt, ci, co] = sum_g band[jt, 2g+jf, ci, g, co]
+    band = jnp.sum(dw, axis=0).reshape(2, 2 * G + 3, c2in, G, c2out)
+    return jnp.einsum("twigo,jwg->jtio", band, _sel_stride(G))
 
 
 @functools.partial(jax.jit, static_argnames=("f_in", "c2x", "c2s", "c2out",
@@ -652,10 +790,13 @@ def _enc_bwd_dw(z, gy, *, f_in, c2in, c2out, interpret):
 def _dec_bwd_gz(gy, w2, *, f_in, c2x, c2s, c2out, interpret):
     batch, _, n_time = gy.shape
     f_out = 2 * f_in
-    wx, ws = _dec_bwd_weights(w2, c2x, c2s, gy.dtype)
+    G = _pick_g_stride(f_in, c2out, max(c2x, c2s), n_time, taps=4)
+    wx5, ws5 = _dec_bwd_weights(w2, c2x, c2s, jnp.float32)
+    wx = _stride_band(wx5, G, gy.dtype)
+    ws = _stride_band(ws5, G, gy.dtype)
     kernel = functools.partial(
         _dec_bwd_gz_kernel, f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out,
-        n_time=n_time)
+        n_time=n_time, G=G)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -678,6 +819,7 @@ def _dec_bwd_gz(gy, w2, *, f_in, c2x, c2s, c2out, interpret):
         scratch_shapes=[
             pltpu.VMEM(((f_out + 4) * c2out, n_time + 1), gy.dtype)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(gy, wx, ws)
 
 
@@ -685,9 +827,13 @@ def _dec_bwd_gz(gy, w2, *, f_in, c2x, c2s, c2out, interpret):
                                              "interpret"))
 def _dec_bwd_dw(zx, zs, gy, *, f_in, c2x, c2s, c2out, interpret):
     batch, _, n_time = zx.shape
+    f_out = 2 * f_in
+    G = _pick_g_parity(f_out, (c2x, c2s), c2out, n_time)
     kernel = functools.partial(
         _dec_bwd_dw_kernel, f_in=f_in, c2x=c2x, c2s=c2s, c2out=c2out,
-        n_time=n_time)
+        n_time=n_time, G=G)
+    span_x = (G // 2 + 2) * c2x
+    span_s = (G // 2 + 2) * c2s
     dwx, dws = pl.pallas_call(
         kernel,
         grid=(batch,),
@@ -700,26 +846,31 @@ def _dec_bwd_dw(zx, zs, gy, *, f_in, c2x, c2s, c2out, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 5, 2, c2x, c2out), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, span_x, G * c2out), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, 2, c2s, c2out), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, span_s, G * c2out), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, 5, 2, c2x, c2out), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 5, 2, c2s, c2out), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 2, span_x, G * c2out), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 2, span_s, G * c2out), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((f_in * c2x, n_time + 1), zx.dtype),
-            pltpu.VMEM((f_in * c2s, n_time + 1), zs.dtype),
+            pltpu.VMEM(((f_in + 2) * c2x, n_time + 2), zx.dtype),
+            pltpu.VMEM(((f_in + 2) * c2s, n_time + 2), zs.dtype),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(zx, zs, gy)
-    # reassemble the joined-kernel gradient [5, 2, C2x+C2s, C2out] in the
-    # complex-cat channel order [xr, sr, xi, si]
+    # band -> taps (inverse of _parity_band: even rows hold jf 0,2,4; odd
+    # rows jf 1,3), then reassemble the joined-kernel gradient
+    # [5, 2, C2x+C2s, C2out] in the complex-cat channel order [xr, sr, xi, si]
+    sel = _sel_parity(G, (0, 2, 4), (1, 3))
+    bx = jnp.sum(dwx, axis=0).reshape(2, G // 2 + 2, c2x, G, c2out)
+    bs = jnp.sum(dws, axis=0).reshape(2, G // 2 + 2, c2s, G, c2out)
+    dwx = jnp.einsum("twigo,jwg->jtio", bx, sel)
+    dws = jnp.einsum("twigo,jwg->jtio", bs, sel)
     cx, cs = c2x // 2, c2s // 2
-    dwx = jnp.sum(dwx, axis=0)
-    dws = jnp.sum(dws, axis=0)
     return jnp.concatenate([
         dwx[:, :, :cx], dws[:, :, :cs], dwx[:, :, cx:], dws[:, :, cs:]
     ], axis=2)
@@ -730,29 +881,25 @@ def _dec_bwd_dw(zx, zs, gy, *, f_in, c2x, c2s, c2out, interpret):
 # --------------------------------------------------------------------------
 
 def _swap_parts(arr):
-    """partner() over [B, F, C2, T]: swap the stacked r/i channel halves."""
+    """partner() over [B, F, C2, ...]: swap the stacked r/i channel halves."""
     c = arr.shape[2] // 2
     return jnp.concatenate([arr[:, :, c:], arr[:, :, :c]], axis=2)
 
 
 def _stats_cotangent(gp, y, f_out, c2out):
-    """g_y contribution of the stats-partials cotangent.
+    """g_y contribution of the per-row stats-partials cotangent.
 
-    partials rows per item: [sum yr, sum yi, sum yr^2, sum yi^2, sum yr*yi]
-    => d/dy_r = gp0 + 2 yr gp2 + yi gp4 ;  d/dy_i = gp1 + 2 yi gp3 + yr gp4.
+    partials lanes per row: [sum y, sum y^2, sum y*partner]
+    => d/dy[row] = gp0[row] + 2 y[row] gp1[row]
+                   + (gp2[row] + gp2[partner]) * y[partner].
     """
     batch, _, n_time = y.shape
     yb = y.reshape(batch, f_out, c2out, n_time).astype(jnp.float32)
-    c = c2out // 2
-    yr, yi = yb[:, :, :c], yb[:, :, c:]
-    gp0 = gp[:, 0].astype(jnp.float32)[:, None, :, None]
-    gp1 = gp[:, 1].astype(jnp.float32)[:, None, :, None]
-    gp2 = gp[:, 2].astype(jnp.float32)[:, None, :, None]
-    gp3 = gp[:, 3].astype(jnp.float32)[:, None, :, None]
-    gp4 = gp[:, 4].astype(jnp.float32)[:, None, :, None]
-    g_yr = gp0 + 2.0 * yr * gp2 + yi * gp4
-    g_yi = gp1 + 2.0 * yi * gp3 + yr * gp4
-    out = jnp.concatenate([g_yr, g_yi], axis=2)
+    gb = gp.astype(jnp.float32).reshape(batch, f_out, c2out, 8)
+    g0 = gb[..., 0][..., None]
+    g1 = gb[..., 1][..., None]
+    g2 = gb[..., 2][..., None]
+    out = g0 + 2.0 * yb * g1 + (g2 + _swap_parts(g2)) * _swap_parts(yb)
     return out.reshape(batch, f_out * c2out, n_time)
 
 

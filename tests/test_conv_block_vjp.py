@@ -18,13 +18,17 @@ def _coeffs(key, k, c2):
 
 
 def _partials_ref(yb):
-    c = yb.shape[2] // 2
-    yr, yi = yb[:, :, :c], yb[:, :, c:]
-    zero = jnp.zeros_like(yr.sum((1, 3)))
-    return jnp.stack([
-        yr.sum((1, 3)), yi.sum((1, 3)), (yr * yr).sum((1, 3)),
-        (yi * yi).sum((1, 3)), (yr * yi).sum((1, 3)), zero, zero, zero,
-    ], axis=1)
+    """Per-row stat partials [B, F*C2, 8] (lanes: sum y, sum y^2,
+    sum y*partner) matching the kernels' blocked-banded stats contract."""
+    b, f, c2, _ = yb.shape
+    c = c2 // 2
+    partner = jnp.concatenate([yb[:, :, c:], yb[:, :, :c]], axis=2)
+    s0 = yb.sum(-1)
+    s1 = (yb * yb).sum(-1)
+    s2 = (yb * partner).sum(-1)
+    zero = jnp.zeros_like(s0)
+    p = jnp.stack([s0, s1, s2, zero, zero, zero, zero, zero], axis=-1)
+    return p.reshape(b, f * c2, 8)
 
 
 def test_conv_block_train_vjp_matches_autodiff():
@@ -52,14 +56,15 @@ def test_conv_block_train_vjp_matches_autodiff():
     args = (x, w2, b2, ad, ac, c0, alpha)
     ky, kp = jax.random.split(jax.random.fold_in(key, 9))
     gy = jax.random.normal(ky, (batch, (f_in // 2) * c2out, n_time))
-    gp = jax.random.normal(kp, (batch, 8, c2out // 2))
+    gp = jax.random.normal(kp, (batch, (f_in // 2) * c2out, 8))
 
     y_ref, p_ref = ref_fn(*args)
     y_fused, p_fused = fused_fn(*args)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(p_fused[:, :5]),
-                               np.asarray(p_ref[:, :5]), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p_fused[..., :3]),
+                               np.asarray(p_ref[..., :3]), rtol=1e-4,
+                               atol=1e-3)
 
     _, vjp_ref = jax.vjp(ref_fn, *args)
     _, vjp_fused = jax.vjp(fused_fn, *args)
@@ -107,7 +112,7 @@ def test_deconv_block_train_vjp_matches_autodiff():
     args = (x, s, w2, b2, adx, acx, c0x, ax, ads, acs, c0s, a_s)
     ky, kp = jax.random.split(jax.random.fold_in(key, 20))
     gy = jax.random.normal(ky, (batch, 2 * f_in * c2out, n_time))
-    gp = jax.random.normal(kp, (batch, 8, c2out // 2))
+    gp = jax.random.normal(kp, (batch, 2 * f_in * c2out, 8))
 
     y_ref, p_ref = ref_fn(*args)
     y_fused, p_fused = fused_fn(*args)

@@ -66,7 +66,8 @@ def test_enc_block_matches_xla(c2in, c2out):
                                rtol=1e-5, atol=1e-5)
 
     # stats partials reduce to the CBN batch moments of the conv output
-    got = cb.stats_from_partials(stats, batch * f_out * n_time)
+    assert stats.shape == (batch, f_out * c2out, 8)
+    got = cb.stats_from_partials(stats, c2out, batch * f_out * n_time)
     c = c2out // 2
     yr = np.asarray(y_ref[:, :, :c]).astype(np.float64)
     yi = np.asarray(y_ref[:, :, c:]).astype(np.float64)

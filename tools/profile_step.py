@@ -26,13 +26,13 @@ import jax.numpy as jnp
 import optax
 
 
-def build_step(remat=False, save=False, fold=False):
+def build_step(remat=False, save=False, fold=False, fused=False):
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
     model = DCCRN(dtype="bfloat16", remat=remat,
                   remat_policy="conv_out,cbn_stats" if save else "",
-                  cbn_fold=fold)
+                  cbn_fold=fold, use_fused_blocks=fused)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -71,6 +71,8 @@ def build_step(remat=False, save=False, fold=False):
 def categorize(name: str) -> str:
     if name.startswith("fusion") or ".fusion" in name:
         return "fusion(elementwise)"
+    if "custom-call" in name or "tpu_custom_call" in name:
+        return "pallas"
     for key in ("conv", "scan", "reduce", "dot", "transpose", "copy", "dynamic"):
         if key in name:
             return key
@@ -85,9 +87,11 @@ def main():
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--fold", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
 
-    train_step, state, mixture, target = build_step(remat=args.remat, save=args.save, fold=args.fold)
+    train_step, state, mixture, target = build_step(
+        remat=args.remat, save=args.save, fold=args.fold, fused=args.fused)
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         state, loss = train_step(state, rng, mixture, target)
