@@ -70,10 +70,12 @@ def conv_stft(wav: jnp.ndarray, win_len: int, win_inc: int, fft_len: int,
     x = jnp.pad(wav, ((0, 0), (pad, pad)))
     fwd, _, _ = _stft_bases(win_len, fft_len)
     if method == "pallas" and win_len % win_inc == 0:
-        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas
+        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas_diff
 
         interpret = jax.default_backend() != "tpu"
-        spec = stft_pallas(x, fwd, win_inc, win_len, interpret=interpret)
+        # custom-VJP wrapper: the fused kernel runs fwd; the backward is
+        # g @ basis^T overlap-added in XLA — usable under train too
+        spec = stft_pallas_diff(x, fwd, win_inc, win_len, interpret)
     else:
         frames = frame_signal(x, win_len, win_inc)  # [B, T', win]
         spec = jnp.matmul(frames, jnp.asarray(fwd), preferred_element_type=jnp.float32)
@@ -335,12 +337,16 @@ class DCCRN(nn.Module):
     # compute dtype for convs + LSTM ("bfloat16" keeps the MXU in bf16 with
     # f32 accumulation — the TPU-native fast path; params stay float32)
     dtype: str = "float32"
-    # fuse the mode-'E' mask application into one Pallas VPU pass on the
-    # inference path (ops/pallas/masking.py); training keeps the autodiff
-    # XLA composition. Default ON: measured +5% end-to-end inference
-    # throughput together with the Pallas STFT (tools/bench_inference.py,
-    # 12.5 -> 13.2 utt/s on 10 s audio, v5e); only active when the default
-    # backend is TPU, so CPU inference never falls into interpret mode.
+    # fuse the mode-'E' mask application into one Pallas VPU pass
+    # (ops/pallas/masking.py). Default ON (True): TPU inference only —
+    # measured +5% end-to-end inference throughput together with the
+    # Pallas STFT (tools/bench_inference.py, 12.5 -> 13.2 utt/s on 10 s
+    # audio, v5e); only active when the default backend is TPU, so CPU
+    # inference never falls into interpret mode. "train" extends it to
+    # train=True via the exact custom VJP (apply_mask_e_diff — backward
+    # autodiffs the pole-free XLA identity; neutral-to-negative at the
+    # bench operating points, same measurement as use_pallas_stft);
+    # "force" = everywhere incl. non-TPU interpret mode (tests).
     use_pallas_mask: object = True
     # folded-coefficient ComplexBatchNorm (see ops/complex_ops.py): one-pass
     # f32 moment stats + per-channel fused multiply-add apply in the compute
@@ -354,9 +360,17 @@ class DCCRN(nn.Module):
     # outputs + tiny per-channel CBN stat vectors, so the backward recompute
     # skips the convs and the big stat reductions). Empty = save nothing.
     remat_policy: str = ""
-    # fused Pallas framing+basis-matmul front-end (inference path only —
-    # Pallas kernels carry no VJP here; training keeps the matmul ConvSTFT).
-    # Default ON on TPU (see use_pallas_mask note).
+    # fused Pallas framing+basis-matmul front-end. The kernel carries an
+    # exact custom VJP (stft_pallas_diff: backward = g @ basis^T overlap-
+    # added in XLA), so it CAN serve training — but measured on v5e the
+    # train step is neutral at batch 16 (244.5 vs 244.8 utt/s) and -2.5%
+    # at batch 128 (416.2 vs 426.8): under remat the XLA frame tensor is
+    # consumed by a fused matmul anyway, while the kernel's padded frame
+    # blocks repeat on every recompute pass. So: True (default) = Pallas
+    # for TPU *inference* only (+5% composed, RESULTS.md), train keeps the
+    # matmul ConvSTFT; "train" = also under train=True (the VJP is exact,
+    # tested in test_pallas.py); "force" = everywhere incl. non-TPU
+    # interpret mode (hermetic tests). False = off.
     use_pallas_stft: object = True
     # activation layout: "nhwc" (channels in lanes) or "nchw" (time in
     # lanes). Params are identical either way; see _ComplexConvBlock.
@@ -501,7 +515,11 @@ class DCCRN(nn.Module):
         # JAX_PLATFORMS, which changes the default backend itself).
         on_tpu = jax.default_backend() == "tpu"
         use_stft = self.use_pallas_stft and (on_tpu or self.use_pallas_stft == "force")
-        stft_method = "pallas" if (use_stft and not train) else "matmul"
+        # train default stays matmul: measured -2.5% at batch 128 with the
+        # Pallas fwd under remat (see use_pallas_stft note); opt in with
+        # "train"/"force" — the custom VJP is exact either way.
+        stft_train_ok = self.use_pallas_stft in ("train", "force")
+        stft_method = "pallas" if (use_stft and (not train or stft_train_ok)) else "matmul"
         specs = conv_stft(wav, self.win_len, self.win_inc, self.fft_len,
                           method=stft_method)
         real = specs[:, :n_freq]
@@ -635,12 +653,15 @@ class DCCRN(nn.Module):
         use_mask = self.use_pallas_mask and (
             jax.default_backend() == "tpu" or self.use_pallas_mask == "force"
         )
-        if self.masking_mode == "E" and use_mask and not train:
-            from speech_enhancement_tpu.ops.pallas.masking import apply_mask_e
+        mask_train_ok = self.use_pallas_mask in ("train", "force")
+        if self.masking_mode == "E" and use_mask and (not train or mask_train_ok):
+            from speech_enhancement_tpu.ops.pallas.masking import apply_mask_e_diff
 
             interpret = jax.default_backend() != "tpu"
-            out_real, out_imag = apply_mask_e(real, imag, mask_real, mask_imag,
-                                              interpret=interpret)
+            # fused kernel fwd + pole-free XLA backward (custom VJP), so the
+            # kernel also serves the training path
+            out_real, out_imag = apply_mask_e_diff(real, imag, mask_real,
+                                                   mask_imag, interpret)
         elif self.masking_mode == "E":
             # Trig-free identity for tanh(|M|)*|X| at phase(X)+phase(M)
             # (reference dccrn.py:203-217 computes it via arctan2/cos/sin):

@@ -13,10 +13,11 @@ since |X| * cos(phase_x + phase_m) = (xr*mr - xi*mi) / (|M|) etc. One VPU
 pass reads 4 [B, F, T] arrays and writes 2 with no HBM intermediates or
 transcendentals beyond tanh/rsqrt.
 
-Used on the inference/serving path (``train=False``, no VJP needed); the
-training path keeps the autodiff-able XLA composition — same math within
-~1e-6 (the reference's eps placement differs microscopically). All-VMEM
-blocks, no manual DMA (the axon runtime faults on Pallas-issued DMA — see
+``apply_mask_e`` is the raw kernel (inference); ``apply_mask_e_diff`` wraps
+it with a custom VJP whose backward autodiffs the pole-free XLA identity,
+so the kernel serves training too — same math within ~1e-6 (the
+reference's eps placement differs microscopically). All-VMEM blocks, no
+manual DMA (the axon runtime faults on Pallas-issued DMA — see
 ops/pallas/stft.py).
 """
 
@@ -67,3 +68,35 @@ def apply_mask_e(xr, xi, mr, mi, interpret: bool = False):
         interpret=interpret,
     )(xr, xi, mr, mi)
     return out_r[..., :n_time], out_i[..., :n_time]
+
+
+# --------------------------------------------------------------------------
+# training: custom VJP — forward stays the fused kernel, backward is the
+# autodiff of the pole-free XLA identity (models/dccrn.py:644-656). The
+# recompute is one elementwise pass, and the gradient matches the XLA
+# training branch (the eps'd sqrt keeps it finite at M == 0 where the
+# un-eps'd composition has NaN gradients — the round-2 bf16 NaN class).
+# --------------------------------------------------------------------------
+
+def _mask_e_ref(xr, xi, mr, mi):
+    mag = jnp.sqrt(mr * mr + mi * mi + 1e-12)
+    scale = jnp.tanh(mag) / (mag + 1e-8)
+    return scale * (xr * mr - xi * mi), scale * (xr * mi + xi * mr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def apply_mask_e_diff(xr, xi, mr, mi, interpret=False):
+    return apply_mask_e(xr, xi, mr, mi, interpret=interpret)
+
+
+def _mask_e_fwd(xr, xi, mr, mi, interpret):
+    return (apply_mask_e(xr, xi, mr, mi, interpret=interpret),
+            (xr, xi, mr, mi))
+
+
+def _mask_e_bwd(interpret, res, g):
+    _, vjp = jax.vjp(_mask_e_ref, *res)
+    return vjp(g)
+
+
+apply_mask_e_diff.defvjp(_mask_e_fwd, _mask_e_bwd)

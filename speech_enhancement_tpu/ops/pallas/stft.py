@@ -112,7 +112,11 @@ def stft_pallas(
     out_dim = basis_windowed.shape[1]
     out_dim_padded = _round_up(out_dim, 128)
     if out_dim_padded != out_dim:
-        basis_windowed = np.pad(basis_windowed, ((0, 0), (0, out_dim_padded - out_dim)))
+        # jnp.pad: under the custom-VJP wrapper the basis arrives as a
+        # (constant-folded) tracer, which numpy cannot pad
+        basis_windowed = jnp.pad(
+            jnp.asarray(basis_windowed),
+            ((0, 0), (0, out_dim_padded - out_dim)))
 
     n_frames_padded = _round_up(n_frames, FRAMES_PER_BLOCK)
     needed = (n_frames_padded + k - 1) * hop
@@ -126,3 +130,48 @@ def stft_pallas(
         interpret=interpret,
     )
     return out[:, :n_frames, :out_dim]
+
+
+# --------------------------------------------------------------------------
+# training: custom VJP (VERDICT r2 item 3)
+# --------------------------------------------------------------------------
+#
+# The analysis transform is linear: out = frames(x) @ basis, so the input
+# cotangent is g @ basis^T overlap-added back onto the signal — exactly the
+# machinery conv_istft already uses (ops/frame.overlap_add). The backward
+# runs in XLA (one MXU matmul + OLA); only the forward needs the fused
+# Pallas kernel, because only the forward's frame tensor would otherwise be
+# materialized in HBM (win/hop = 4-5x the signal bytes) on every fwd AND
+# remat-recompute pass.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def stft_pallas_diff(x, basis_windowed, hop, win, interpret=False):
+    """Differentiable stft_pallas: exact VJP w.r.t. the signal (the basis
+    is a config-derived constant; its cotangent is returned as zeros)."""
+    return stft_pallas(x, basis_windowed, hop, win, interpret=interpret)
+
+
+def _stft_diff_fwd(x, basis_windowed, hop, win, interpret):
+    out = stft_pallas(x, basis_windowed, hop, win, interpret=interpret)
+    return out, (x.shape, basis_windowed)
+
+
+def _stft_diff_bwd(hop, win, interpret, res, g):
+    x_shape, basis = res
+    from speech_enhancement_tpu.ops.frame import overlap_add
+
+    basis = jnp.asarray(basis, jnp.float32)
+    # d(frames @ B)/dx: frame cotangents g @ B^T, overlap-added at hop
+    fct = jnp.matmul(g.astype(jnp.float32), basis.T,
+                     preferred_element_type=jnp.float32)
+    sig = overlap_add(fct, hop)  # [B, (n_frames-1)*hop + win] <= T always
+    total = x_shape[-1]
+    cover = sig.shape[-1]
+    if cover < total:
+        sig = jnp.pad(sig, ((0, 0), (0, total - cover)))
+    else:
+        sig = sig[:, :total]
+    return sig, jnp.zeros(basis.shape, jnp.float32)
+
+
+stft_pallas_diff.defvjp(_stft_diff_fwd, _stft_diff_bwd)

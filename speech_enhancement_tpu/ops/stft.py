@@ -87,7 +87,7 @@ def stft(
     if method == "pallas":
         # fused framing+window+basis matmul kernel (ops/pallas/stft.py):
         # never materializes the [T', n_fft] frame tensor in HBM
-        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas
+        from speech_enhancement_tpu.ops.pallas.stft import stft_pallas_diff
 
         if center:
             pad = n_fft // 2
@@ -103,7 +103,7 @@ def stft(
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
         interpret = jax.default_backend() != "tpu"
-        out = stft_pallas(flat, basis, hop_length, n_fft, interpret=interpret)
+        out = stft_pallas_diff(flat, basis, hop_length, n_fft, interpret)
         n_freq = n_fft // 2 + 1
         spec = jax.lax.complex(out[..., :n_freq], out[..., n_freq:])
         spec = spec.reshape(*lead, *spec.shape[1:])

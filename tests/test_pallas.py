@@ -111,3 +111,81 @@ def test_stft_method_pallas_matches_fft(rng):
     assert got.shape == want.shape
     np.testing.assert_allclose(got.real, want.real, atol=2e-3)
     np.testing.assert_allclose(got.imag, want.imag, atol=2e-3)
+
+
+def test_stft_pallas_diff_grads_match_matmul(rng):
+    """stft_pallas_diff's custom VJP vs autodiff of the explicit
+    framing+matmul composition (the training-path ground truth)."""
+    import jax
+
+    from speech_enhancement_tpu.ops.frame import frame_signal
+    from speech_enhancement_tpu.ops.pallas.stft import stft_pallas_diff
+
+    fwd, _, _ = _stft_bases(400, 512)
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32)) * 0.3
+    basis = jnp.asarray(fwd)
+
+    def ref_loss(x):
+        frames = frame_signal(x, 400, 100, center=False)
+        spec = jnp.matmul(frames, basis)
+        return jnp.sum(jnp.sin(spec))  # nonlinear reduce: exercises g fully
+
+    def pallas_loss(x):
+        spec = stft_pallas_diff(x, fwd, 100, 400, True)
+        return jnp.sum(jnp.sin(spec))
+
+    g_ref = jax.grad(ref_loss)(x)
+    g_pl = jax.grad(pallas_loss)(x)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_mask_e_diff_grads_match_xla(rng):
+    import jax
+
+    from speech_enhancement_tpu.ops.pallas.masking import (_mask_e_ref,
+                                                           apply_mask_e_diff)
+
+    B, F, T = 1, 16, 64
+    args = tuple(
+        jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32))
+        for _ in range(4)
+    )
+
+    def ref_loss(*a):
+        orr, oi = _mask_e_ref(*a)
+        return jnp.sum(orr * orr) + jnp.sum(jnp.abs(oi))
+
+    def pl_loss(*a):
+        orr, oi = apply_mask_e_diff(*a, True)
+        return jnp.sum(orr * orr) + jnp.sum(jnp.abs(oi))
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(*args)
+    g_pl = jax.grad(pl_loss, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_dccrn_pallas_train_step_finite(rng):
+    """Full DCCRN train-mode grads with the Pallas STFT + mask front-end
+    forced on (custom VJPs active): finite loss and gradients."""
+    import jax
+
+    from speech_enhancement_tpu.models.dccrn import DCCRN
+
+    model = DCCRN(use_pallas_stft="force", use_pallas_mask="force",
+                  kernel_num=(8, 16), rnn_layers=1, rnn_units=16)
+    x = jnp.asarray(rng.standard_normal((2, 1, 1600)).astype(np.float32)) * 0.1
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - x) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in leaves)
