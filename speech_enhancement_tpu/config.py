@@ -221,7 +221,17 @@ _DEFAULTS: Dict[str, Any] = {
         "validation": {"total_steps": 4, "interval": 1, "metric": "loss"},
         "test": {"total_steps": 4, "interval": 10, "num_show": 2, "metric": "sisdr"},
     },
-    "parallel": {"data": 1, "model": 1},
+    # Batch semantics under multi-host: ``solver.batch_size`` is the
+    # PER-HOST batch. Each process feeds its disjoint file-list shard
+    # (data.loader.shard_for_process) at batch_size; the global batch a
+    # train step consumes is batch_size * jax.process_count(), sharded over
+    # the global ``data`` mesh axis. ``multihost: true`` makes main() call
+    # jax.distributed.initialize() before any backend use;
+    # coordinator_address/num_processes/process_id override the TPU-pod
+    # auto-detection when launching by hand (parallel/mesh.py).
+    "parallel": {"data": 1, "model": 1, "multihost": False,
+                 "coordinator_address": "", "num_processes": 0,
+                 "process_id": -1},
 }
 
 

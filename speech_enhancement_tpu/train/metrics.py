@@ -3,10 +3,11 @@
 SI-SDR is available both device-side (jnp, for in-loop validation without a
 host round-trip) and host-side (numpy, bit-matching the reference's
 metric.py:92-123 convention — note it does *not* zero-mean). STOI is a
-native numpy implementation (:mod:`.stoi`); PESQ requires the ITU P.862 C
-implementation, which the image does not ship — it is gated on the optional
-``pesq`` / ``pypesq`` packages exactly like the reference gates Clarity
-metrics (src/solver.py:82-89). SDR implements BSS Eval's 512-tap
+native numpy implementation (:mod:`.stoi`). PESQ prefers the conformant
+ITU ``pesq`` / ``pypesq`` wheels when installed (the reference's path,
+src/metric.py:3,147-196) and otherwise falls back to the in-repo native
+P.862-class implementation (native/pesq.cpp), so the metric runs even in
+wheel-less images. SDR implements BSS Eval's 512-tap
 time-invariant distortion filter (the single-source core of museval's
 ``bss_eval``, src/metric.py:65-89).
 """
@@ -28,15 +29,37 @@ try:  # optional C PESQ (ITU P.862), as in the reference
     from pesq import pesq as _pesq  # type: ignore
 
     HAS_PESQ = True
-except ImportError:  # pragma: no cover - image has no pesq wheel
-    HAS_PESQ = False
+    PESQ_IMPL = "itu-wheel"
+except ImportError:
+    # fall back to the in-repo native P.862-class implementation
+    # (native/pesq.cpp via train/pesq_native.py) so the metric actually
+    # runs in wheel-less images; the conformant wheel takes precedence.
+    from speech_enhancement_tpu.train import pesq_native as _pesq_native
+
+    if _pesq_native.available():
+        def _pesq(sr, ref, deg, mode="wb"):  # same signature as pesq.pesq
+            return _pesq_native.pesq_native(sr, ref, deg, mode)
+
+        HAS_PESQ = True
+        PESQ_IMPL = "native"
+    else:  # pragma: no cover - no compiler either
+        HAS_PESQ = False
+        PESQ_IMPL = None
 
 try:  # optional narrow-band PESQ (pypesq), reference metric.py:178-196
     from pypesq import pesq as _nb_pesq  # type: ignore
 
     HAS_PYPESQ = True
-except ImportError:  # pragma: no cover - image has no pypesq wheel
-    HAS_PYPESQ = False
+except ImportError:
+    from speech_enhancement_tpu.train import pesq_native as _pesq_native_nb
+
+    if _pesq_native_nb.available():
+        def _nb_pesq(ref, deg, sr):  # pypesq argument order
+            return _pesq_native_nb.pesq_native(sr, ref, deg, "nb")
+
+        HAS_PYPESQ = True
+    else:  # pragma: no cover - no compiler either
+        HAS_PYPESQ = False
 
 _EPS = np.finfo(np.float64).eps
 

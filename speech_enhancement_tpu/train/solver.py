@@ -552,7 +552,8 @@ class Solver:
             results_csv or os.path.join(self.run_dir, "results.csv")
         )
         results.clear()
-        agg = {"enhanced": {"sisdr": [], "stoi": []}, "mixture": {"sisdr": [], "stoi": []}}
+        agg = {"enhanced": {"sisdr": [], "stoi": [], "pesq": []},
+               "mixture": {"sisdr": [], "stoi": [], "pesq": []}}
         for step, item in enumerate(self.test_loader):
             if limit is not None and step >= limit:
                 break
@@ -567,11 +568,18 @@ class Solver:
             enhanced_np = np.asarray(enhanced)
             mixture_np = np.asarray(mixture)
 
-            m_enh = metrics_lib.compute_metrics(clean, enhanced_np, sr, ("sisdr", "stoi"))
-            m_mix = metrics_lib.compute_metrics(clean, mixture_np, sr, ("sisdr", "stoi"))
-            for key in ("sisdr", "stoi"):
-                agg["enhanced"][key].append(m_enh[key])
-                agg["mixture"][key].append(m_mix[key])
+            # the reference scores every test utterance with
+            # {stoi, pesq, sisdr} (solver.py:190-192, applied at 704-721);
+            # pesq is None only when neither the wheel nor the native
+            # fallback (train/pesq_native.py) is available
+            include = ("sisdr", "stoi", "pesq")
+            m_enh = metrics_lib.compute_metrics(clean, enhanced_np, sr, include)
+            m_mix = metrics_lib.compute_metrics(clean, mixture_np, sr, include)
+            for key in include:
+                if m_enh.get(key) is not None:
+                    agg["enhanced"][key].append(m_enh[key])
+                if m_mix.get(key) is not None:
+                    agg["mixture"][key].append(m_mix[key])
 
             # Clarity HA scoring path (reference solver.py:610-616): resample
             # to the HA rate, amplify per scene listener, HASPI/HASQI. The
@@ -600,6 +608,7 @@ class Solver:
                 item["name"],
                 sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
                 stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
+                pesq_enhance=m_enh.get("pesq"), pesq_mixture=m_mix.get("pesq"),
                 haspi_enhance=_ha_col("haspi_enhance"),
                 haspi_mixture=_ha_col("haspi_mixture"),
                 hasqi_enhance=_ha_col("hasqi_enhance"),

@@ -92,3 +92,37 @@ def test_nb_pesq_gated():
         assert out["nb-pesq"] > 3.0
     else:
         assert out["nb-pesq"] is None
+
+
+def test_native_pesq_sanity(rng):
+    """The in-repo P.862-class implementation (native/pesq.cpp): identical
+    signals hit the mapping ceiling (the wheel's known 4.64 WB anchor),
+    scores are level-invariant and monotone in additive-noise SNR."""
+    from speech_enhancement_tpu.train import pesq_native
+
+    if not pesq_native.available():  # pragma: no cover - no compiler
+        pytest.skip("native pesq unavailable")
+    clean = _speechlike(rng, 4 * 16000)
+    assert abs(pesq_native.pesq_native(16000, clean, clean) - 4.64) < 0.02
+    # level alignment: gain on the degraded side must not change the score
+    half = pesq_native.pesq_native(16000, clean, clean * 0.5)
+    assert abs(half - 4.64) < 0.02
+    scores = []
+    for snr_db in (30, 10, 0):
+        noise = rng.standard_normal(clean.size).astype(np.float32)
+        noise *= np.sqrt((clean**2).mean() / (noise**2).mean()) * 10 ** (-snr_db / 20)
+        scores.append(pesq_native.pesq_native(16000, clean, clean + noise))
+    assert scores[0] > scores[1] > scores[2] >= 1.0
+    # error contract matches the wheel: ValueError on degenerate input
+    with pytest.raises(ValueError):
+        pesq_native.pesq_native(16000, clean[:100], clean[:100])
+
+
+def test_wb_pesq_through_bundle(rng):
+    """compute_metrics fills a real pesq value via the native fallback
+    (reference inference scores {stoi, pesq, sisdr}, solver.py:190-192)."""
+    if not metrics.HAS_PESQ:  # pragma: no cover
+        pytest.skip("no pesq implementation available")
+    clean = _speechlike(rng, 2 * 16000)[None, None]
+    out = metrics.compute_metrics(clean, clean, include=("pesq",))
+    assert out["pesq"] is not None and out["pesq"] > 4.5

@@ -175,3 +175,33 @@ def test_sepformer_rnn_blocks(rng):
     assert out.shape == (1, 2, 1, 1000)
     assert np.all(np.isfinite(np.asarray(out)))
     assert "rnn" in variables["params"]["dual_0"]["intra"]
+
+
+def test_sepformer_remat_grads_match(rng):
+    """remat over DualComputationBlocks is a schedule change, not a math
+    change: outputs and gradients must match the un-remat'd model."""
+    from speech_enhancement_tpu.models.sepformer import Sepformer
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 1000)).astype(np.float32) * 0.1)
+    target = jnp.concatenate([x[:, None] * 0.8, x[:, None] * 0.5], axis=1)
+    kwargs = dict(encoder_out_nchannels=32, masknet_chunksize=50,
+                  masknet_numlayers=1, intra_numlayers=1, inter_numlayers=1,
+                  intra_nhead=4, inter_nhead=4, intra_dffn=64, inter_dffn=64)
+    base = Sepformer(**kwargs)
+    variables = base.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+
+    def run(model):
+        def loss_of(p):
+            out = model.apply({"params": p}, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean((out - target) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss_of))(variables["params"])
+
+    loss_a, g_a = run(base)
+    loss_b, g_b = run(Sepformer(remat=True, **kwargs))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

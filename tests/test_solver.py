@@ -94,7 +94,21 @@ def test_inference_scores_enhanced_vs_mixture(vbd_root, tmp_path):
     summary = solver.inference(save=True)
     assert "enhanced" in summary and "mixture" in summary
     assert np.isfinite(summary["enhanced"]["sisdr"])
-    assert os.path.exists(os.path.join(solver.run_dir, "results.csv"))
+    csv_path = os.path.join(solver.run_dir, "results.csv")
+    assert os.path.exists(csv_path)
+    # reference inference scores {stoi, pesq, sisdr} per utterance
+    # (solver.py:190-192); with the native P.862 fallback the pesq columns
+    # must carry real values in this wheel-less image
+    import csv as _csv
+
+    from speech_enhancement_tpu.train import metrics as _metrics
+
+    with open(csv_path) as handle:
+        rows = list(_csv.DictReader(handle))
+    assert rows
+    if _metrics.HAS_PESQ:
+        assert 1.0 <= float(rows[0]["pesq_enhance"]) <= 4.65
+        assert "pesq" in summary["enhanced"]
     wavs = os.listdir(os.path.join(solver.run_dir, "enhanced"))
     assert len(wavs) >= 1
 

@@ -95,7 +95,7 @@ def main():
                    c2out=c2out):
             xb = x.reshape(batch, f_in, c2in, t)
             z = cb._pointwise_ref(xb, *coeffs, 0.25)
-            znhwc = jnp.transpose(z, (0, 1, 3, 2))
+            znhwc = jnp.transpose(z, (0, 1, 3, 2)).astype(dtype)
             y = jax.lax.conv_general_dilated(
                 znhwc, w2.astype(dtype), (2, 1), ((2, 2), (1, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -138,7 +138,7 @@ def main():
             joined = jnp.concatenate(
                 [zx[:, :, :cxh], zs[:, :, :csh], zx[:, :, cxh:],
                  zs[:, :, csh:]], axis=2)
-            jn = jnp.transpose(joined, (0, 1, 3, 2))
+            jn = jnp.transpose(joined, (0, 1, 3, 2)).astype(dtype)
             y = jax.lax.conv_transpose(
                 jn, w2.astype(dtype), (2, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

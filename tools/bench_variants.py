@@ -37,6 +37,7 @@ def run_variant(name: str) -> float:
         remat="remat" in flags,
         layout="nchw" if "nchw" in flags else "nhwc",
         remat_policy="conv_out,cbn_stats" if "save" in flags else "",
+        use_fused_blocks="fusedblk" in flags,
     )
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
