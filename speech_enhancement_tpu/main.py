@@ -54,11 +54,18 @@ def main(
         import jax
 
         jax.config.update("jax_platforms", str(device))
-    _enable_compile_cache()
     if isinstance(config, str):
         config = load_config(config)
     else:
         config = with_defaults(config)
+
+    # multi-host launch (parallel.multihost: true): jax.distributed must
+    # initialize before the first backend touch so every process sees the
+    # global device set (semantics in config.py / parallel/mesh.py)
+    from speech_enhancement_tpu.parallel.mesh import init_distributed
+
+    init_distributed(config.parallel)
+    _enable_compile_cache()
 
     seed = int(config.get("seed", 10))
     seed_everything(seed)

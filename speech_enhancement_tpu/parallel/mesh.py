@@ -7,14 +7,22 @@ is ``shard_map``-ped over a 1-D ``data`` mesh axis; each device holds a full
 replica of the parameters (replicated spec), consumes its batch shard, and
 gradients/batch-stats are reduced with ``lax.pmean`` over ICI.
 
-Multi-host story (tested only on a virtual single-host mesh in this image):
-the compiled program is host-count agnostic — the same shard_map program
-runs under multi-process JAX with XLA routing the pmean over ICI/DCN — and
-the host data path shards file lists per process via
-``data.loader.shard_for_process`` (jax.process_index), so each host feeds
-only its slice of the global batch. What is NOT yet exercised anywhere:
-a real multi-process launch (jax.distributed.initialize); Solver assumes
-its ``batch_size`` is the per-host batch.
+Multi-host story: ``parallel.multihost: true`` makes ``main()`` call
+:func:`init_distributed` (jax.distributed.initialize — auto-detected on
+TPU pods, or explicit coordinator_address/num_processes/process_id from
+the config) before any backend use. The compiled program is host-count
+agnostic — the same shard_map program runs under multi-process JAX with
+XLA routing the pmean over ICI/DCN. The host data path shards file lists
+per process via ``data.loader.shard_for_process`` (jax.process_index), so
+each host feeds only its slice of the global batch; ``shard_batch``
+assembles per-process local batches into global arrays with
+``jax.make_array_from_process_local_data``. ``solver.batch_size`` is the
+PER-HOST batch (global = batch_size * process_count; config.py). Tested
+in this single-host image: the launch wiring (mocked initialize,
+test_parallel.py), 2-"host" disjoint loader shards assembling the exact
+global batch end-to-end through a DP step on the virtual mesh, and the
+shard_map program itself; a physical multi-process launch needs real
+multi-host hardware by definition.
 
 A ``model`` axis is reserved in :func:`make_mesh` for tensor-parallel
 shardings of larger models (none of the reference's models need it — the
@@ -32,6 +40,37 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(parallel_config) -> bool:
+    """Multi-host launch: ``jax.distributed.initialize`` from config.
+
+    Called by ``main()`` before any backend use when
+    ``parallel.multihost: true``. With no explicit settings the initialize
+    call auto-detects the cluster (TPU-pod metadata / cloud environment);
+    ``coordinator_address`` / ``num_processes`` / ``process_id`` override
+    it for hand-rolled launches. Returns True when initialize was called.
+    Safe to call twice (already-initialized errors are swallowed so a
+    notebook re-run of main() does not die).
+    """
+    if not parallel_config.get("multihost"):
+        return False
+    kwargs = {}
+    addr = str(parallel_config.get("coordinator_address", "") or "")
+    if addr:
+        kwargs["coordinator_address"] = addr
+    nproc = int(parallel_config.get("num_processes", 0) or 0)
+    if nproc > 0:
+        kwargs["num_processes"] = nproc
+    pid = int(parallel_config.get("process_id", -1))
+    if pid >= 0:
+        kwargs["process_id"] = pid
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as err:  # already initialized -> keep going
+        if "already" not in str(err).lower():
+            raise
+    return True
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh; data defaults to all devices / model."""
     devices = devices if devices is not None else jax.devices()
@@ -44,8 +83,20 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place host arrays sharded along the data axis (dim 0)."""
+    """Place host arrays sharded along the data axis (dim 0).
+
+    Single-process: one device_put with the sharded layout. Multi-process:
+    each host holds only its per-host batch (its loader shard), so the
+    global array is assembled from process-local data — dim 0 of the
+    global batch is batch_size * process_count.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        def put(x):
+            global_shape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

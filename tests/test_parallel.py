@@ -114,3 +114,76 @@ def test_data_parallel_int16_wire(vbd_root, tmp_path):
     assert s_q.scores["train_loss"][0] == pytest.approx(
         s_f.scores["train_loss"][0], rel=2e-3
     )
+
+
+def test_init_distributed_wiring(monkeypatch):
+    """parallel.multihost: true -> jax.distributed.initialize before any
+    backend use, with config overrides passed through (VERDICT r2 item 8)."""
+    from speech_enhancement_tpu.parallel import mesh as mesh_lib
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    assert mesh_lib.init_distributed(Config({"multihost": False})) is False
+    assert calls == []
+    cfg = Config({"multihost": True, "coordinator_address": "10.0.0.1:1234",
+                  "num_processes": 4, "process_id": 2})
+    assert mesh_lib.init_distributed(cfg) is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    # pod auto-detection: no overrides -> bare initialize()
+    assert mesh_lib.init_distributed(Config({"multihost": True})) is True
+    assert calls[-1] == {}
+
+
+def test_multihost_loader_shards_assemble_global_batch(vbd_root, monkeypatch):
+    """Two mocked hosts: disjoint train shards whose loaders assemble the
+    global batch, pushed through shard_batch + a pmean collective on the
+    virtual mesh — the per-host batch semantics documented in config.py."""
+    from speech_enhancement_tpu.data.loader import (SegmentLoader,
+                                                    get_train_wav_dataset)
+
+    cfg = _config(vbd_root, "/tmp/unused", data_parallel=8)
+
+    host_sets = []
+    for host in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda h=host: h)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        train_set, _, _ = get_train_wav_dataset(cfg.dset, cfg.model, seed=3)
+        host_sets.append(train_set)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    full_train, _, _ = get_train_wav_dataset(cfg.dset, cfg.model, seed=3)
+
+    s0, s1 = (set(s.mixture_files) for s in host_sets)
+    assert s0.isdisjoint(s1)
+    assert s0 | s1 == set(full_train.mixture_files)
+
+    # each host's loader feeds batch_size=2 (the fixture has ~2-3 train
+    # utterances per host shard); the global batch is their concatenation
+    # (dim 0 = per-host batch * process_count = 4)
+    batches = []
+    for ds in host_sets:
+        loader = SegmentLoader(ds, batch_size=2, segment_length=16000,
+                               shuffle=False, drop_last=True, seed=0)
+        batches.append(next(iter(loader)))
+    global_batch = {
+        k: np.concatenate([b[k] for b in batches], axis=0)
+        for k in ("mixture", "sources")
+    }
+    assert global_batch["mixture"].shape[0] == 4
+
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=4)
+    sharded = shard_batch(mesh, global_batch)
+    spmd_mean = jax.jit(shard_map(
+        lambda x: jax.lax.pmean(jnp.mean(x), "data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P(), check_vma=False,
+    ))
+    got = float(spmd_mean(sharded["mixture"]))
+    # f32 reduction order differs between the sharded pmean and numpy
+    assert got == pytest.approx(float(np.mean(global_batch["mixture"])), rel=1e-3)
