@@ -199,17 +199,49 @@ class SegmentLoader:
 
 class EvalLoader:
     """Batch-size-1 full-utterance iterator (reference: distrib.py:212-224,
-    eval path uses batch_size=1 and no collate)."""
+    eval path uses batch_size=1 and no collate).
 
-    def __init__(self, dataset):
+    A small prefetch thread decodes/resamples utterance k+1 while the
+    consumer drives the device for utterance k, so the host decode is off
+    the inference critical path (same pattern as SegmentLoader's
+    prefetcher). ``prefetch=0`` restores the synchronous iterator.
+    """
+
+    def __init__(self, dataset, prefetch: int = 2):
         self.dataset = dataset
+        self.prefetch = int(prefetch)
 
     def __len__(self) -> int:
         return len(self.dataset)
 
     def __iter__(self):
-        for i in range(len(self.dataset)):
-            yield self.dataset[i]
+        if self.prefetch <= 0:
+            for i in range(len(self.dataset)):
+                yield self.dataset[i]
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def worker():
+            try:
+                for i in range(len(self.dataset)):
+                    q.put(self.dataset[i])
+            except BaseException as exc:  # surface in the consumer
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error:
+            raise error[0]
 
 
 def get_train_wav_dataset(dset_config, model_config, seed: int = 0):

@@ -554,33 +554,18 @@ class Solver:
         results.clear()
         agg = {"enhanced": {"sisdr": [], "stoi": [], "pesq": []},
                "mixture": {"sisdr": [], "stoi": [], "pesq": []}}
-        for step, item in enumerate(self.test_loader):
-            if limit is not None and step >= limit:
-                break
-            mixture = jnp.asarray(item["mixture"])[None]  # [1, C, T]
-            clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
-            enhanced = evaluate_utterance(
-                mixture, apply_eval, variables, self.spec, self.config,
-                num_sources=int(self.config.model.get("num_spk", 1)),
-            )
-            if self.spec.multi_speaker:
-                enhanced = enhanced[:, 0]  # score the target-speaker estimate
-            enhanced_np = np.asarray(enhanced)
-            mixture_np = np.asarray(mixture)
+        # the reference scores every test utterance with {stoi, pesq, sisdr}
+        # (solver.py:190-192, applied at 704-721); pesq is None only when
+        # neither the wheel nor the native fallback (train/pesq_native.py)
+        # is available
+        include = ("sisdr", "stoi", "pesq")
 
-            # the reference scores every test utterance with
-            # {stoi, pesq, sisdr} (solver.py:190-192, applied at 704-721);
-            # pesq is None only when neither the wheel nor the native
-            # fallback (train/pesq_native.py) is available
-            include = ("sisdr", "stoi", "pesq")
+        def _score_utterance(clean, enhanced_np, mixture_np, name):
+            """Host-side scoring, run OFF the device critical path: while a
+            worker computes STOI/PESQ/HA for utterance k, the main thread is
+            already waiting on the device for utterance k+1."""
             m_enh = metrics_lib.compute_metrics(clean, enhanced_np, sr, include)
             m_mix = metrics_lib.compute_metrics(clean, mixture_np, sr, include)
-            for key in include:
-                if m_enh.get(key) is not None:
-                    agg["enhanced"][key].append(m_enh[key])
-                if m_mix.get(key) is not None:
-                    agg["mixture"][key].append(m_mix[key])
-
             # Clarity HA scoring path (reference solver.py:610-616): resample
             # to the HA rate, amplify per scene listener, HASPI/HASQI. The
             # metric values are "gated" without the external clarity package;
@@ -589,14 +574,30 @@ class Solver:
             if (self.clarity_scorer is not None
                     and str(self.config.dset.name).lower() == "clarity"):
                 ha_scores = self.compute_metric_clarity(
-                    mixture_np[0], enhanced_np[0], clean[0], item["name"]
+                    mixture_np[0], enhanced_np[0], clean[0], name
                 )
-                for key in ("haspi", "hasqi"):
-                    for side in ("enhance", "mixture"):
-                        value = ha_scores.get(f"{key}_{side}")
-                        if value is not None:
-                            agg_side = "enhanced" if side == "enhance" else "mixture"
-                            agg[agg_side].setdefault(key, []).append(value)
+            if save:
+                from speech_enhancement_tpu.data.wav_io import write_wav
+
+                out_dir = os.path.join(self.run_dir, "enhanced")
+                write_wav(os.path.join(out_dir, f"{name}.wav"), enhanced_np[0], sr)
+            return m_enh, m_mix, ha_scores
+
+        def _consume(name, future):
+            """Fold one finished scoring task into agg + the CSV (called in
+            utterance order, so rows match the reference's layout)."""
+            m_enh, m_mix, ha_scores = future.result()
+            for key in include:
+                if m_enh.get(key) is not None:
+                    agg["enhanced"][key].append(m_enh[key])
+                if m_mix.get(key) is not None:
+                    agg["mixture"][key].append(m_mix[key])
+            for key in ("haspi", "hasqi"):
+                for side in ("enhance", "mixture"):
+                    value = ha_scores.get(f"{key}_{side}")
+                    if value is not None:
+                        agg_side = "enhanced" if side == "enhance" else "mixture"
+                        agg[agg_side].setdefault(key, []).append(value)
 
             def _ha_col(col):
                 if self.clarity_scorer is None:
@@ -605,7 +606,7 @@ class Solver:
                 return "gated" if value is None else value
 
             results.add_result(
-                item["name"],
+                name,
                 sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
                 stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
                 pesq_enhance=m_enh.get("pesq"), pesq_mixture=m_mix.get("pesq"),
@@ -614,15 +615,37 @@ class Solver:
                 hasqi_enhance=_ha_col("hasqi_enhance"),
                 hasqi_mixture=_ha_col("hasqi_mixture"),
             )
-            if step < int(cfg.get("num_show", 0)):
-                self.spec_audio_visualization(
-                    mixture_np[0], enhanced_np[0], clean[0], item["name"], step
-                )
-            if save:
-                from speech_enhancement_tpu.data.wav_io import write_wav
 
-                out_dir = os.path.join(self.run_dir, "enhanced")
-                write_wav(os.path.join(out_dir, f"{item['name']}.wav"), enhanced_np[0], sr)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: list = []  # (name, future), utterance order
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for step, item in enumerate(self.test_loader):
+                if limit is not None and step >= limit:
+                    break
+                mixture = jnp.asarray(item["mixture"])[None]  # [1, C, T]
+                clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
+                enhanced = evaluate_utterance(
+                    mixture, apply_eval, variables, self.spec, self.config,
+                    num_sources=int(self.config.model.get("num_spk", 1)),
+                )
+                if self.spec.multi_speaker:
+                    enhanced = enhanced[:, 0]  # score the target-speaker estimate
+                enhanced_np = np.asarray(enhanced)
+                mixture_np = np.asarray(mixture)
+                if step < int(cfg.get("num_show", 0)):
+                    self.spec_audio_visualization(
+                        mixture_np[0], enhanced_np[0], clean[0], item["name"], step
+                    )
+                pending.append((item["name"], pool.submit(
+                    _score_utterance, clean, enhanced_np, mixture_np,
+                    item["name"])))
+                # bound memory: drain finished heads so at most ~8 utterances
+                # of audio are held by in-flight scoring tasks
+                while len(pending) > 8:
+                    _consume(*pending.pop(0))
+            for entry in pending:
+                _consume(*entry)
 
         summary = {
             side: {k: float(np.mean(v)) for k, v in vals.items() if v}

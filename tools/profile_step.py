@@ -26,18 +26,28 @@ import jax.numpy as jnp
 import optax
 
 
-def build_step(remat=False, save=False, fold=False, fused=False):
-    from speech_enhancement_tpu.models.dccrn import DCCRN
+def build_step(remat=False, save=False, fold=False, fused=False,
+               model_name="dccrn", batch=16):
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    model = DCCRN(dtype="bfloat16", remat=remat,
-                  remat_policy="conv_out,cbn_stats" if save else "",
-                  cbn_fold=fold, use_fused_blocks=fused)
+    if model_name == "sepformer":
+        from speech_enhancement_tpu.models.sepformer import Sepformer
+
+        model = Sepformer(dtype="bfloat16", remat=remat,
+                          encoder_in_nchannels=1, masknet_numspks=1)
+    else:
+        from speech_enhancement_tpu.models.dccrn import DCCRN
+
+        model = DCCRN(dtype="bfloat16", remat=remat,
+                      remat_policy="conv_out,cbn_stats" if save else "",
+                      cbn_fold=fold, use_fused_blocks=fused)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    mixture = jax.random.normal(k1, (16, 1, 64000)) * 0.1
-    target = jax.random.normal(k2, (16, 1, 64000)) * 0.1
+    mixture = jax.random.normal(k1, (batch, 1, 64000)) * 0.1
+    target = jax.random.normal(k2, (batch, 1, 64000)) * 0.1
+    if model_name == "sepformer":  # multi-speaker wav contract [B, S, C, T]
+        target = target[:, None]
     variables = model.init(k3, mixture)
     state = {
         "params": variables["params"],
@@ -88,10 +98,13 @@ def main():
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--fold", action="store_true")
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--model", default="dccrn", choices=["dccrn", "sepformer"])
+    parser.add_argument("--batch", type=int, default=16)
     args = parser.parse_args()
 
     train_step, state, mixture, target = build_step(
-        remat=args.remat, save=args.save, fold=args.fold, fused=args.fused)
+        remat=args.remat, save=args.save, fold=args.fold, fused=args.fused,
+        model_name=args.model, batch=args.batch)
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         state, loss = train_step(state, rng, mixture, target)
