@@ -147,3 +147,132 @@ def dccrn_from_torch_state(
         params[f"clstm_{layer}"] = block
 
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# MelRNN (reference src/model/mel_rnn.py:35-123)
+# ---------------------------------------------------------------------------
+
+def _rnn_stack(sd: Mapping[str, np.ndarray], prefix: str, layers: int,
+               rnn_type: str) -> Dict[str, dict]:
+    """torch {RNN,LSTM,GRU}(num_layers=L, bias=False) -> RNNStack params.
+
+    torch packs per-layer mats as ``weight_ih_l{k}`` [G*H, D]; the flax
+    layers store the transpose. Gate orders already agree (LSTM i,f,g,o;
+    GRU r,z,n — ops/rnn.py docstrings).
+    """
+    out: Dict[str, dict] = {}
+    for k in range(layers):
+        layer = {
+            "w_ih": _np(sd[f"{prefix}.weight_ih_l{k}"]).T,
+            "w_hh": _np(sd[f"{prefix}.weight_hh_l{k}"]).T,
+        }
+        if f"{prefix}.bias_ih_l{k}" in sd:
+            layer["b_ih"] = _np(sd[f"{prefix}.bias_ih_l{k}"])
+            layer["b_hh"] = _np(sd[f"{prefix}.bias_hh_l{k}"])
+        if rnn_type == "rnn":  # VanillaRNNLayer folds the biases into one
+            layer = {"w_ih": layer["w_ih"], "w_hh": layer["w_hh"]}
+            if f"{prefix}.bias_ih_l{k}" in sd:
+                layer["b"] = (_np(sd[f"{prefix}.bias_ih_l{k}"]) +
+                              _np(sd[f"{prefix}.bias_hh_l{k}"]))
+        out[f"l{k}_fwd"] = layer
+    return out
+
+
+def mel_rnn_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    rnn_layer: int = 2,
+    rnn_type: str = "lstm",
+) -> Tuple[dict, dict]:
+    """Reference MelRNN state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.mel_rnn.MelRNN`.
+
+    Key layout (reference src/model/mel_rnn.py:40-80): ``rnn.weight_*_l{k}``
+    (bias=False), ``batchnorm.*`` (BatchNorm1d over rnn_hidden),
+    ``fc_layers.0/2.{weight,bias}`` (the two Linears; 1/3 are activations).
+    """
+    params = {
+        "rnn": _rnn_stack(state_dict, "rnn", rnn_layer, rnn_type),
+        "bn": {
+            "scale": _np(state_dict["batchnorm.weight"]),
+            "bias": _np(state_dict["batchnorm.bias"]),
+        },
+        "fc1": {"kernel": _np(state_dict["fc_layers.0.weight"]).T,
+                "bias": _np(state_dict["fc_layers.0.bias"])},
+        "fc2": {"kernel": _np(state_dict["fc_layers.2.weight"]).T,
+                "bias": _np(state_dict["fc_layers.2.bias"])},
+    }
+    batch_stats = {
+        "bn": {
+            "mean": _np(state_dict["batchnorm.running_mean"]),
+            "var": _np(state_dict["batchnorm.running_var"]),
+        }
+    }
+    return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# Conv-TasNet (reference src/model/conv_tasnet.py:34-204,207-402)
+# ---------------------------------------------------------------------------
+
+def _conv1d(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d weight [Cout, Cin/groups, K] -> flax kernel [K, Cin/g, Cout]."""
+    return {"kernel": _np(sd[key]).transpose(2, 1, 0)}
+
+
+def _cln(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """reference cLN/gLN affine [1, N, 1] -> flat (N,) (ops/norms.py)."""
+    return {"gamma": _np(sd[f"{prefix}.gamma"]).reshape(-1),
+            "beta": _np(sd[f"{prefix}.beta"]).reshape(-1)}
+
+
+def conv_tasnet_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    R: int = 2,
+    X: int = 7,
+    skip: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference ConvTasNet state_dict -> (params, {}) for
+    :class:`speech_enhancement_tpu.models.conv_tasnet.ConvTasNet`.
+
+    The reference wires the separator two ways (conv_tasnet.py:266-275):
+    ``skip=False`` packs everything into one ``nn.Sequential`` named
+    ``network``; ``skip=True`` keeps named attributes. Both layouts map to
+    the same flax tree. Depthwise convs ([H, 1, P], groups=H) land on
+    ``feature_group_count`` kernels [P, 1, H]; the decoder's
+    ``basis_signals`` Linear transposes onto the Dense kernel.
+    """
+    if skip:
+        ln, bottleneck = "separator.layer_norm", "separator.bottleneck_conv1x1"
+        tcn, mask = "separator.temporal_conv_net", "separator.mask_conv1x1"
+    else:
+        ln, bottleneck = "separator.network.0", "separator.network.1"
+        tcn, mask = "separator.network.2", "separator.network.3"
+
+    params: Dict[str, dict] = {
+        "encoder": _conv1d(state_dict, "encoder.conv1d_U.weight"),
+        "layer_norm": _cln(state_dict, ln),
+        "bottleneck": _conv1d(state_dict, f"{bottleneck}.weight"),
+        "mask_conv": _conv1d(state_dict, f"{mask}.weight"),
+        "decoder": {"kernel": _np(state_dict["decoder.basis_signals.weight"]).T},
+    }
+    for r in range(R):
+        for x in range(X):
+            p = f"{tcn}.{r}.{x}"
+            block = {
+                "conv1x1": _conv1d(state_dict, f"{p}.net.0.weight"),
+                "prelu": {"alpha": _np(state_dict[f"{p}.net.1.weight"])},
+                "norm": _cln(state_dict, f"{p}.net.2"),
+                "dsconv": {
+                    "depthwise": _conv1d(state_dict, f"{p}.net.3.net.0.weight"),
+                    "prelu": {"alpha": _np(state_dict[f"{p}.net.3.net.1.weight"])},
+                    "norm": _cln(state_dict, f"{p}.net.3.net.2"),
+                    "pointwise": _conv1d(state_dict,
+                                         f"{p}.net.3.pointwise_conv.weight"),
+                },
+            }
+            if skip:
+                block["dsconv"]["skip_conv"] = _conv1d(
+                    state_dict, f"{p}.net.3.skip_conv.weight")
+            params[f"block_{r}_{x}"] = block
+    return params, {}

@@ -36,6 +36,12 @@ class MelRNN(nn.Module):
     rnn_hidden: int = 256
     rnn_layer: int = 2
     rnn_type: str = "rnn"
+    # reference-shipped bug replication (mel_rnn.py:40-61 + forward:99-101):
+    # torch builds the RNN with batch_first=False but feeds [B, T, F], so
+    # the recurrence runs across the BATCH dim with T as the batch. Default
+    # False = proper time recurrence; True reproduces the reference
+    # execution exactly (torch-weight parity, tests/test_parity.py).
+    rnn_over_batch_compat: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -52,10 +58,16 @@ class MelRNN(nn.Module):
             x = jnp.einsum("bft,fm->bmt", x, fb)
 
         x = jnp.swapaxes(x, -1, -2)  # [B, T, features]
+        if self.rnn_over_batch_compat:
+            # emulate torch batch_first=False fed with [B, T, F]: the cell
+            # scans over dim 0 (batch) treating T as the batch
+            x = jnp.swapaxes(x, 0, 1)
         x = RNNStack(
             rnn_type=self.rnn_type, hidden_size=self.rnn_hidden,
             num_layers=self.rnn_layer, use_bias=False, name="rnn",
         )(x, train=train)
+        if self.rnn_over_batch_compat:
+            x = jnp.swapaxes(x, 0, 1)
         # BatchNorm over features (torch BatchNorm1d on [B, C, T] normalizes C)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         x = nn.relu(nn.Dense(self.n_mels or n_freqs, name="fc1")(x))

@@ -113,3 +113,89 @@ def test_dccrn_parity_training_stats_mode(rng):
         out.reshape(-1, out.shape[-1])[:, :n],
         ref_out.reshape(-1, ref_out.shape[-1])[:, :n], atol=1e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# MelRNN + Conv-TasNet waveform/mask parity (round-3: pin two more families)
+# ---------------------------------------------------------------------------
+
+REF_MEL_RNN = "/root/reference/src/model/mel_rnn.py"
+REF_CONV_TASNET = "/root/reference/src/model/conv_tasnet.py"
+
+
+def _load_reference_module(path, name):
+    import sys
+    import types
+
+    if name == "ref_mel_rnn" and "torchaudio" not in sys.modules:
+        # the reference imports torchaudio at module top but only touches it
+        # when n_mels > 0; this image has no torchaudio wheel, so inject a
+        # stub (the parity config uses n_mels=0 — MelScale never constructed)
+        ta = types.ModuleType("torchaudio")
+        tf = types.ModuleType("torchaudio.transforms")
+        tf.MelScale = tf.InverseMelScale = object
+        ta.transforms = tf
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tf
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru", "rnn"])
+def test_mel_rnn_parity_with_torch(rnn_type, rng):
+    """Executed-reference parity for the MelRNN family (n_mels=0 path):
+    pins the RNN mats/gate order, BatchNorm1d mapping, the two FC layers,
+    the |re^2-im^2| amplitude quirk, AND the reference's batch_first=False
+    recurrence-over-batch execution (rnn_over_batch_compat)."""
+    import torch
+
+    from speech_enhancement_tpu.compat import mel_rnn_from_torch_state
+    from speech_enhancement_tpu.models.mel_rnn import MelRNN
+
+    mod = _load_reference_module(REF_MEL_RNN, "ref_mel_rnn")
+    torch_model = mod.MelRNN(n_fft=256, n_mels=0, rnn_hidden=32,
+                             rnn_layer=2, rnn_type=rnn_type)
+    torch_model.eval()
+
+    # [B, 1, F, T, 2] complex-as-last-dim spectrogram input
+    x = rng.standard_normal((3, 1, 129, 20, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+
+    params, batch_stats = mel_rnn_from_torch_state(
+        torch_model.state_dict(), rnn_layer=2, rnn_type=rnn_type)
+    model = MelRNN(n_fft=256, n_mels=0, rnn_hidden=32, rnn_layer=2,
+                   rnn_type=rnn_type, rnn_over_batch_compat=True)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_conv_tasnet_parity_with_torch(skip, rng):
+    """Executed-reference waveform parity for Conv-TasNet: pins the
+    encoder/decoder basis conventions, depthwise-separable block layout,
+    cLN/gLN affine mapping, mask nonlinearity, and the overlap-add
+    (reference conv_tasnet.py:157-204 vs the scatter-free OLA)."""
+    import torch
+
+    from speech_enhancement_tpu.compat import conv_tasnet_from_torch_state
+    from speech_enhancement_tpu.models.conv_tasnet import ConvTasNet
+
+    mod = _load_reference_module(REF_CONV_TASNET, "ref_conv_tasnet")
+    kwargs = dict(N=32, L=16, B=16, H=24, P=3, X=3, R=2, audio_channels=1,
+                  norm_type="gLN")
+    torch_model = mod.ConvTasNet(sources=["a", "b"], skip=skip, **kwargs)
+    torch_model.eval()
+
+    wav = rng.standard_normal((2, 1, 4000)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(wav)).numpy()
+
+    params, _ = conv_tasnet_from_torch_state(
+        torch_model.state_dict(), R=2, X=3, skip=skip)
+    model = ConvTasNet(sources=("a", "b"), skip=skip, **kwargs)
+    out = model.apply({"params": params}, np.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
