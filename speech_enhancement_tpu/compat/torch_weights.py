@@ -154,28 +154,34 @@ def dccrn_from_torch_state(
 # ---------------------------------------------------------------------------
 
 def _rnn_stack(sd: Mapping[str, np.ndarray], prefix: str, layers: int,
-               rnn_type: str) -> Dict[str, dict]:
+               rnn_type: str, bidirectional: bool = False) -> Dict[str, dict]:
     """torch {RNN,LSTM,GRU}(num_layers=L, bias=False) -> RNNStack params.
 
-    torch packs per-layer mats as ``weight_ih_l{k}`` [G*H, D]; the flax
-    layers store the transpose. Gate orders already agree (LSTM i,f,g,o;
-    GRU r,z,n — ops/rnn.py docstrings).
+    torch packs per-layer mats as ``weight_ih_l{k}`` [G*H, D] (reverse
+    direction: ``_reverse`` suffix -> ``l{k}_bwd``); the flax layers store
+    the transpose. Gate orders already agree (LSTM i,f,g,o; GRU r,z,n —
+    ops/rnn.py docstrings).
     """
+    def one(k, suffix):
+        layer = {
+            "w_ih": _np(sd[f"{prefix}.weight_ih_l{k}{suffix}"]).T,
+            "w_hh": _np(sd[f"{prefix}.weight_hh_l{k}{suffix}"]).T,
+        }
+        if f"{prefix}.bias_ih_l{k}{suffix}" in sd:
+            layer["b_ih"] = _np(sd[f"{prefix}.bias_ih_l{k}{suffix}"])
+            layer["b_hh"] = _np(sd[f"{prefix}.bias_hh_l{k}{suffix}"])
+        if rnn_type == "rnn":  # VanillaRNNLayer folds the biases into one
+            folded = {"w_ih": layer["w_ih"], "w_hh": layer["w_hh"]}
+            if "b_ih" in layer:
+                folded["b"] = layer["b_ih"] + layer["b_hh"]
+            return folded
+        return layer
+
     out: Dict[str, dict] = {}
     for k in range(layers):
-        layer = {
-            "w_ih": _np(sd[f"{prefix}.weight_ih_l{k}"]).T,
-            "w_hh": _np(sd[f"{prefix}.weight_hh_l{k}"]).T,
-        }
-        if f"{prefix}.bias_ih_l{k}" in sd:
-            layer["b_ih"] = _np(sd[f"{prefix}.bias_ih_l{k}"])
-            layer["b_hh"] = _np(sd[f"{prefix}.bias_hh_l{k}"])
-        if rnn_type == "rnn":  # VanillaRNNLayer folds the biases into one
-            layer = {"w_ih": layer["w_ih"], "w_hh": layer["w_hh"]}
-            if f"{prefix}.bias_ih_l{k}" in sd:
-                layer["b"] = (_np(sd[f"{prefix}.bias_ih_l{k}"]) +
-                              _np(sd[f"{prefix}.bias_hh_l{k}"]))
-        out[f"l{k}_fwd"] = layer
+        out[f"l{k}_fwd"] = one(k, "")
+        if bidirectional:
+            out[f"l{k}_bwd"] = one(k, "_reverse")
     return out
 
 
@@ -276,3 +282,36 @@ def conv_tasnet_from_torch_state(
                     state_dict, f"{p}.net.3.skip_conv.weight")
             params[f"block_{r}_{x}"] = block
     return params, {}
+
+
+def rnn_stft_mask_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    rnn_layer: int = 2,
+    rnn_type: str = "lstm",
+    bidirectional: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference STFT_RNN state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.stft_rnn.RNNSTFTMask`.
+
+    Key layout (reference src/model/stft_rnn.py:39-75): ``rnn.*``
+    (bias=False, optional ``_reverse`` direction), ``batchnorm.*``
+    (BatchNorm1d over rnn_hidden or 2*rnn_hidden), ``fc_layers.0`` (the
+    single Linear to n_features * num_spk; index 1 is the activation).
+    """
+    params = {
+        "rnn": _rnn_stack(state_dict, "rnn", rnn_layer, rnn_type,
+                          bidirectional=bidirectional),
+        "bn": {
+            "scale": _np(state_dict["batchnorm.weight"]),
+            "bias": _np(state_dict["batchnorm.bias"]),
+        },
+        "fc": {"kernel": _np(state_dict["fc_layers.0.weight"]).T,
+               "bias": _np(state_dict["fc_layers.0.bias"])},
+    }
+    batch_stats = {
+        "bn": {
+            "mean": _np(state_dict["batchnorm.running_mean"]),
+            "var": _np(state_dict["batchnorm.running_var"]),
+        }
+    }
+    return params, batch_stats

@@ -30,6 +30,12 @@ class RNNSTFTMask(nn.Module):
     drop_out: float = 0.5
     activation: str = "relu"
     bidirectional: bool = False
+    # reference-shipped bug replication (stft_rnn.py:39-62 + forward:85-87):
+    # torch builds the RNN with batch_first=False but feeds [B*C, T, F], so
+    # the recurrence runs across the merged batch*channel dim with T as the
+    # batch (same class as MelRNN's quirk). Default False = proper time
+    # recurrence; True reproduces the reference execution exactly.
+    rnn_over_batch_compat: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -38,11 +44,15 @@ class RNNSTFTMask(nn.Module):
         mask = amplitude_quirk(inputs)  # [B, C, F, T]
         mask = mask.reshape(batch * n_channel, n_feature, n_frame)
         mask = jnp.swapaxes(mask, 1, 2)  # [B*C, T, F]
+        if self.rnn_over_batch_compat:
+            mask = jnp.swapaxes(mask, 0, 1)  # torch batch_first=False quirk
         mask = RNNStack(
             rnn_type=self.rnn_type, hidden_size=self.rnn_hidden,
             num_layers=self.rnn_layer, bidirectional=self.bidirectional,
             dropout=self.drop_out, use_bias=False, name="rnn",
         )(mask, train=train)
+        if self.rnn_over_batch_compat:
+            mask = jnp.swapaxes(mask, 0, 1)
         mask = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(mask)
         mask = nn.Dense(n_feature * self.num_spk, name="fc")(mask)
         mask = nn.relu(mask)

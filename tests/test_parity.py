@@ -199,3 +199,41 @@ def test_conv_tasnet_parity_with_torch(skip, rng):
     model = ConvTasNet(sources=("a", "b"), skip=skip, **kwargs)
     out = model.apply({"params": params}, np.asarray(wav), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
+
+
+REF_STFT_RNN = "/root/reference/src/model/stft_rnn.py"
+
+
+@pytest.mark.parametrize("rnn_type,bidirectional",
+                         [("lstm", False), ("gru", True)])
+def test_rnn_stft_mask_parity_with_torch(rnn_type, bidirectional, rng):
+    """Executed-reference parity for the multi-speaker STFT masker: pins
+    the (bi)RNN stack (incl. _reverse-direction weights), BatchNorm1d,
+    the FC head, the speaker un-merge reshapes, and the recurrence-over-
+    batch quirk (rnn_over_batch_compat — same class as MelRNN's)."""
+    import torch
+
+    from speech_enhancement_tpu.compat import rnn_stft_mask_from_torch_state
+    from speech_enhancement_tpu.models.stft_rnn import RNNSTFTMask
+
+    mod = _load_reference_module(REF_STFT_RNN, "ref_stft_rnn")
+    torch_model = mod.RNNBaseSTFTMask(n_fft=256, num_spk=2, rnn_hidden=32,
+                               rnn_layer=2, rnn_type=rnn_type, drop_out=0.0,
+                               bidirectional=bidirectional)
+    torch_model.eval()
+
+    x = rng.standard_normal((2, 2, 129, 12, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+
+    params, batch_stats = rnn_stft_mask_from_torch_state(
+        torch_model.state_dict(), rnn_layer=2, rnn_type=rnn_type,
+        bidirectional=bidirectional)
+    model = RNNSTFTMask(n_fft=256, num_spk=2, rnn_hidden=32, rnn_layer=2,
+                        rnn_type=rnn_type, drop_out=0.0,
+                        bidirectional=bidirectional,
+                        rnn_over_batch_compat=True)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(x), train=False)
+    # reference returns [B, S, C, F, T, 2]; ours matches that contract
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
