@@ -315,3 +315,66 @@ def rnn_stft_mask_from_torch_state(
         }
     }
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# CRN (reference src/model/crn.py:9-141)
+# ---------------------------------------------------------------------------
+
+def _bn2d(sd: Mapping[str, np.ndarray], prefix: str) -> Tuple[dict, dict]:
+    """torch BatchNorm{1,2}d -> flax BatchNorm params + batch_stats."""
+    return (
+        {"scale": _np(sd[f"{prefix}.weight"]),
+         "bias": _np(sd[f"{prefix}.bias"])},
+        {"mean": _np(sd[f"{prefix}.running_mean"]),
+         "var": _np(sd[f"{prefix}.running_var"])},
+    )
+
+
+def crn_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """Reference CRN state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.crn.CRN`.
+
+    Key layout (reference src/model/crn.py:78-95): five
+    ``conv_block_{i}`` CausalConvBlocks (Conv2d k=(3,2) s=(2,1) + BN),
+    the 1792-wide 2-layer ``lstm_layer`` (batch_first=True — no
+    recurrence quirk here), five ``tran_conv_block_{i}``
+    CausalTransConvBlocks (ConvTranspose2d + BN; the transposed kernels
+    need the spatial flip, and the bias lands on the block-level ``bias``
+    param so torch's output_padding row — bias-only — matches exactly).
+    """
+    params: Dict[str, dict] = {}
+    batch_stats: Dict[str, dict] = {}
+    for i in range(1, 6):
+        p = f"conv_block_{i}"
+        bn_p, bn_s = _bn2d(state_dict, f"{p}.norm")
+        params[f"enc_{i}"] = {
+            "conv": {
+                "kernel": _np(state_dict[f"{p}.conv.weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(state_dict[f"{p}.conv.bias"]),
+            },
+            "bn": bn_p,
+        }
+        batch_stats[f"enc_{i}"] = {"bn": bn_s}
+
+    for layer in (1, 2):
+        params[f"lstm{layer}"] = {
+            "w_ih": _np(state_dict[f"lstm_layer.weight_ih_l{layer - 1}"]).T,
+            "w_hh": _np(state_dict[f"lstm_layer.weight_hh_l{layer - 1}"]).T,
+            "b_ih": _np(state_dict[f"lstm_layer.bias_ih_l{layer - 1}"]),
+            "b_hh": _np(state_dict[f"lstm_layer.bias_hh_l{layer - 1}"]),
+        }
+
+    for i in range(1, 6):
+        p = f"tran_conv_block_{i}"
+        kernel = _np(state_dict[f"{p}.conv.weight"])[:, :, ::-1, ::-1]
+        bn_p, bn_s = _bn2d(state_dict, f"{p}.norm")
+        params[f"dec_{i}"] = {
+            "conv": {"kernel": np.ascontiguousarray(kernel.transpose(2, 3, 0, 1))},
+            "bias": _np(state_dict[f"{p}.conv.bias"]),
+            "bn": bn_p,
+        }
+        batch_stats[f"dec_{i}"] = {"bn": bn_s}
+    return params, batch_stats

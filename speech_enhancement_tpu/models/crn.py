@@ -49,12 +49,17 @@ class _CausalTransConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.ConvTranspose(
             self.features, (3, 2), strides=(2, 1), padding="VALID",
-            dtype=self.dtype, name="conv"
+            use_bias=False, dtype=self.dtype, name="conv"
         )(x)
         x = x[:, :, :-1, :]  # chomp the extra time step (causal)
         if self.extra_freq_pad:
-            # torch output_padding=(1, 0): zeros appended at the high-freq edge
+            # torch output_padding=(1, 0): the appended high-freq row gets
+            # no kernel contributions, only the bias — so the bias is added
+            # AFTER the pad (zero-padding then biasing matches torch
+            # exactly; see crn_from_torch_state / test_parity.py)
             x = jnp.pad(x, ((0, 0), (0, self.extra_freq_pad), (0, 0), (0, 0)))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x + bias.astype(x.dtype)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         return nn.relu(x) if self.is_last else nn.elu(x)
 

@@ -237,3 +237,36 @@ def test_rnn_stft_mask_parity_with_torch(rnn_type, bidirectional, rng):
                       np.asarray(x), train=False)
     # reference returns [B, S, C, F, T, 2]; ours matches that contract
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
+
+
+REF_CRN = "/root/reference/src/model/crn.py"
+
+
+def test_crn_parity_with_torch(rng):
+    """Executed-reference parity for CRN: pins the causal conv/trans-conv
+    pad+chomp arithmetic, BatchNorm2d mapping, the channel-major LSTM
+    flatten (crn.py:115-124), the transposed-kernel flip, the
+    output_padding row (bias-only — block-level bias param), and the
+    sqrt(re^2 - im^2) amplitude quirk (amplitude_compat)."""
+    import torch
+
+    from speech_enhancement_tpu.compat import crn_from_torch_state
+    from speech_enhancement_tpu.models.crn import CRN
+
+    mod = _load_reference_module(REF_CRN, "ref_crn")
+    torch_model = mod.CRN(use_lstm=True)
+    torch_model.eval()
+
+    # amplitude_compat computes sqrt(re^2 - im^2): keep |re| > |im| so the
+    # reference itself stays finite (its README flags training as broken)
+    re = (1.0 + rng.random((2, 1, 257, 12))).astype(np.float32)
+    im = (0.5 * rng.random((2, 1, 257, 12))).astype(np.float32)
+    x = np.stack([re, im], axis=-1)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+
+    params, batch_stats = crn_from_torch_state(torch_model.state_dict())
+    model = CRN(use_lstm=True, amplitude_compat=True)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=5e-4)
