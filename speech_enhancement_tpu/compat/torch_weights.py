@@ -378,3 +378,46 @@ def crn_from_torch_state(
         }
         batch_stats[f"dec_{i}"] = {"bn": bn_s}
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# Wave-U-Net (reference src/model/wav_unet.py:8-110)
+# ---------------------------------------------------------------------------
+
+def wav_unet_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    unet_nlayers: int = 12,
+) -> Tuple[dict, dict]:
+    """Reference WavUnet state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.wav_unet.WavUNet`.
+
+    Key layout: ``encoder.{i}.main.{0,1}`` / ``middle.{0,1}`` /
+    ``decoder.{i}.main.{0,1}`` Conv1d+BatchNorm1d sandwiches and the
+    ``out.0`` 1x1 conv (wav_unet.py:44-77).
+    """
+    def conv_bn(conv_key, bn_key):
+        conv = {
+            "kernel": _np(state_dict[f"{conv_key}.weight"]).transpose(2, 1, 0),
+            "bias": _np(state_dict[f"{conv_key}.bias"]),
+        }
+        bn_p, bn_s = _bn2d(state_dict, bn_key)
+        return conv, bn_p, bn_s
+
+    params: Dict[str, dict] = {}
+    batch_stats: Dict[str, dict] = {}
+    for i in range(unet_nlayers):
+        conv, bn_p, bn_s = conv_bn(f"encoder.{i}.main.0", f"encoder.{i}.main.1")
+        params[f"enc_{i}"] = {"conv": conv, "bn": bn_p}
+        batch_stats[f"enc_{i}"] = {"bn": bn_s}
+    conv, bn_p, bn_s = conv_bn("middle.0", "middle.1")
+    params["middle"] = {"conv": conv, "bn": bn_p}
+    batch_stats["middle"] = {"bn": bn_s}
+    for i in range(unet_nlayers):
+        conv, bn_p, bn_s = conv_bn(f"decoder.{i}.main.0", f"decoder.{i}.main.1")
+        params[f"dec_{i}"] = {"conv": conv, "bn": bn_p}
+        batch_stats[f"dec_{i}"] = {"bn": bn_s}
+    params["out"] = {
+        "kernel": _np(state_dict["out.0.weight"]).transpose(2, 1, 0),
+        "bias": _np(state_dict["out.0.bias"]),
+    }
+    return params, batch_stats

@@ -270,3 +270,31 @@ def test_crn_parity_with_torch(rng):
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       np.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-4, rtol=5e-4)
+
+
+REF_WAV_UNET = "/root/reference/src/model/wav_unet.py"
+
+
+def test_wav_unet_parity_with_torch(rng):
+    """Executed-reference parity for Wave-U-Net: pins the Conv1d+BN
+    sandwiches, stride-2 decimation, align_corners 2x linear upsampling,
+    skip-concat channel order, and the tanh head."""
+    import torch
+
+    from speech_enhancement_tpu.compat import wav_unet_from_torch_state
+    from speech_enhancement_tpu.models.wav_unet import WavUNet
+
+    mod = _load_reference_module(REF_WAV_UNET, "ref_wav_unet")
+    torch_model = mod.WavUnet(unet_nlayers=6, channels_interval=8)
+    torch_model.eval()
+
+    wav = (rng.standard_normal((2, 1, 1024)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(wav)).numpy()
+
+    params, batch_stats = wav_unet_from_torch_state(
+        torch_model.state_dict(), unet_nlayers=6)
+    model = WavUNet(unet_nlayers=6, channels_interval=8)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
