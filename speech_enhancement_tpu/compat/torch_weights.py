@@ -421,3 +421,64 @@ def wav_unet_from_torch_state(
         "bias": _np(state_dict["out.0.bias"]),
     }
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# UNet (reference src/model/unet.py:9-146)
+# ---------------------------------------------------------------------------
+
+def _double_conv(sd: Mapping[str, np.ndarray], prefix: str) -> Tuple[dict, dict]:
+    """DoubleConv (conv/BN/LeakyReLU x2, unet.py:65-86) -> flax params."""
+    bn1_p, bn1_s = _bn2d(sd, f"{prefix}.1")
+    bn2_p, bn2_s = _bn2d(sd, f"{prefix}.4")
+    params = {
+        "conv1": {"kernel": _np(sd[f"{prefix}.0.weight"]).transpose(2, 3, 1, 0)},
+        "bn1": bn1_p,
+        "conv2": {"kernel": _np(sd[f"{prefix}.3.weight"]).transpose(2, 3, 1, 0)},
+        "bn2": bn2_p,
+    }
+    return params, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+def _up2x2(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """ConvTranspose2d k=2 s=2 -> flax ConvTranspose (spatial flip)."""
+    kernel = _np(sd[f"{prefix}.weight"])[:, :, ::-1, ::-1]
+    return {
+        "kernel": np.ascontiguousarray(kernel.transpose(2, 3, 0, 1)),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def unet_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    unet_layer: int = 4,
+) -> Tuple[dict, dict]:
+    """Reference UNet state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.unet.UNet` (bilinear=False
+    layout; the bilinear variant has no transposed-conv weights).
+
+    Key layout (unet.py:21-37): ``encoder.{n}.maxpool_conv.0.double_conv``
+    Downs, ``middle.double_conv``, ``decoder.{n}.conv.double_conv`` with
+    ``decoder.{n}.up`` ConvTranspose2d for n >= 1 (decoder 0 is
+    ``first=True`` — no up), and ``outconv.{up,conv.double_conv}``.
+    """
+    params: Dict[str, dict] = {}
+    batch_stats: Dict[str, dict] = {}
+    for n in range(unet_layer):
+        p, s = _double_conv(state_dict, f"encoder.{n}.maxpool_conv.0.double_conv")
+        params[f"down_{n}"] = p
+        batch_stats[f"down_{n}"] = s
+    p, s = _double_conv(state_dict, "middle.double_conv")
+    params["middle"] = p
+    batch_stats["middle"] = s
+    for n in range(unet_layer):
+        if n > 0:
+            params[f"up_{n}"] = _up2x2(state_dict, f"decoder.{n}.up")
+        p, s = _double_conv(state_dict, f"decoder.{n}.conv.double_conv")
+        params[f"dec_{n}"] = p
+        batch_stats[f"dec_{n}"] = s
+    params["up_out"] = _up2x2(state_dict, "outconv.up")
+    p, s = _double_conv(state_dict, "outconv.conv.double_conv")
+    params["dec_out"] = p
+    batch_stats["dec_out"] = s
+    return params, batch_stats
