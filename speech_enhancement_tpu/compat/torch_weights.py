@@ -482,3 +482,56 @@ def unet_from_torch_state(
     params["dec_out"] = p
     batch_stats["dec_out"] = s
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# DCUnet (reference src/model/dcunet.py:8-306, complex path)
+# ---------------------------------------------------------------------------
+
+def dcunet_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    model_depth: int = 10,
+) -> Tuple[dict, dict]:
+    """Reference DCUnet (data_type=True) state_dict -> (params, batch_stats)
+    for :class:`speech_enhancement_tpu.models.dcunet.DCUnet`.
+
+    The reference's complex modules are the simple paired-real kind
+    (dcunet.py:309-370: conv_re/conv_im pairs combined as a complex
+    product, independent BatchNorm2d per part) — unlike DCCRN's whitening
+    ComplexBatchNorm — so each part maps onto the ``_r``/``_i`` twins and
+    ``ComplexBatchNormSimple``'s bn_r/bn_i.
+    """
+    def conv2d(key):
+        return {"kernel": _np(state_dict[f"{key}.weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(state_dict[f"{key}.bias"])}
+
+    def tconv2d(key):
+        kernel = _np(state_dict[f"{key}.weight"])[:, :, ::-1, ::-1]
+        return {"kernel": np.ascontiguousarray(kernel.transpose(2, 3, 0, 1)),
+                "bias": _np(state_dict[f"{key}.bias"])}
+
+    def cbn(prefix):
+        re_p, re_s = _bn2d(state_dict, f"{prefix}.bn_re")
+        im_p, im_s = _bn2d(state_dict, f"{prefix}.bn_im")
+        return ({"bn_r": re_p, "bn_i": im_p}, {"bn_r": re_s, "bn_i": im_s})
+
+    params: Dict[str, dict] = {}
+    batch_stats: Dict[str, dict] = {}
+    for i in range(model_depth // 2):
+        bn_p, bn_s = cbn(f"encoder{i}.bn")
+        params[f"enc_{i}"] = {
+            "conv_r": conv2d(f"encoder{i}.conv.conv_re"),
+            "conv_i": conv2d(f"encoder{i}.conv.conv_im"),
+            "bn": bn_p,
+        }
+        batch_stats[f"enc_{i}"] = {"bn": bn_s}
+        bn_p, bn_s = cbn(f"decoder{i}.bn")
+        params[f"dec_{i}"] = {
+            "tconv_r": tconv2d(f"decoder{i}.transconv.tconv_re"),
+            "tconv_i": tconv2d(f"decoder{i}.transconv.tconv_im"),
+            "bn": bn_p,
+        }
+        batch_stats[f"dec_{i}"] = {"bn": bn_s}
+    params["linear_r"] = conv2d("linear.conv_re")
+    params["linear_i"] = conv2d("linear.conv_im")
+    return params, batch_stats

@@ -327,3 +327,38 @@ def test_unet_parity_with_torch(rng):
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       np.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5, rtol=5e-4)
+
+
+REF_DCUNET = "/root/reference/src/model/dcunet.py"
+
+
+@pytest.mark.parametrize("masking_mode", ["E", "C"])
+def test_dcunet_parity_with_torch(masking_mode, rng):
+    """Executed-reference parity for DCUnet's complex path (data_type=True,
+    depth 10) at the reference's demo geometry: pins the paired-real
+    complex conv/tconv combination, per-part BatchNorm2d, the depth-10
+    kernel/stride/padding tables, skip-concat order, and the E/C masking
+    heads."""
+    import torch
+
+    from speech_enhancement_tpu.compat import dcunet_from_torch_state
+    from speech_enhancement_tpu.models.dcunet import DCUnet
+
+    mod = _load_reference_module(REF_DCUNET, "ref_dcunet")
+    torch_model = mod.DCUnet(audio_channels=1, data_type=True,
+                             model_complexity=12, model_depth=10,
+                             masking_mode=masking_mode)
+    torch_model.eval()
+
+    # reference demo geometry (dcunet.py:__main__): F=257, T=65
+    x = (rng.standard_normal((1, 1, 257, 65, 2)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+
+    params, batch_stats = dcunet_from_torch_state(
+        torch_model.state_dict(), model_depth=10)
+    model = DCUnet(audio_channels=1, data_type=True, model_complexity=12,
+                   model_depth=10, masking_mode=masking_mode)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
