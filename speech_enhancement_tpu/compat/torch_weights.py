@@ -535,3 +535,35 @@ def dcunet_from_torch_state(
     params["linear_r"] = conv2d("linear.conv_re")
     params["linear_i"] = conv2d("linear.conv_im")
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# DNN (reference src/model/dnn.py:7-141)
+# ---------------------------------------------------------------------------
+
+def dnn_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    n_layers: int = 4,
+) -> Tuple[dict, dict]:
+    """Reference DeepNeuralNetwork state_dict -> (params, batch_stats) for
+    :class:`speech_enhancement_tpu.models.dnn.DNN`.
+
+    Key layout: ``context`` (the EMA-context Linear), ``model.{n}.model.0``
+    Linears + ``model.{n}.model.1`` BatchNorm1ds (dnn.py:20-49). The EMA
+    coefficients (0.1 in / 0.85 out) are constants on both sides
+    (ema.py:18-20 buffers vs ops/norms.ema_scan args).
+    """
+    params: Dict[str, dict] = {
+        "context": {"kernel": _np(state_dict["context.weight"]).T,
+                    "bias": _np(state_dict["context.bias"])},
+    }
+    batch_stats: Dict[str, dict] = {}
+    for n in range(n_layers):
+        linear = {"kernel": _np(state_dict[f"model.{n}.model.0.weight"]).T}
+        if f"model.{n}.model.0.bias" in state_dict:
+            linear["bias"] = _np(state_dict[f"model.{n}.model.0.bias"])
+        params[f"linear_{n}"] = linear
+        bn_p, bn_s = _bn2d(state_dict, f"model.{n}.model.1")
+        params[f"bn_{n}"] = bn_p
+        batch_stats[f"bn_{n}"] = bn_s
+    return params, batch_stats

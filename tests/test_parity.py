@@ -362,3 +362,51 @@ def test_dcunet_parity_with_torch(masking_mode, rng):
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       np.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
+
+
+REF_DNN = "/root/reference/src/model/dnn.py"
+REF_EMA = "/root/reference/src/model/ema.py"
+
+
+def test_dnn_parity_with_torch(rng):
+    """Executed-reference parity for the DNN masker: pins the Linear+BN1d
+    stack, the EMA context path (per-timestep torch loop vs the
+    associative scan), and the mask head."""
+    import importlib
+    import sys
+    import types
+
+    import torch
+
+    # dnn.py does ``from .ema import ...`` — give it a package home
+    pkg = types.ModuleType("ref_model_pkg")
+    pkg.__path__ = ["/root/reference/src/model"]
+    sys.modules["ref_model_pkg"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_pkg.ema", REF_EMA)
+    ema_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ema_mod)
+    sys.modules["ref_model_pkg.ema"] = ema_mod
+    spec = importlib.util.spec_from_file_location("ref_model_pkg.dnn", REF_DNN)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from speech_enhancement_tpu.compat import dnn_from_torch_state
+    from speech_enhancement_tpu.models.dnn import DNN
+
+    torch_model = mod.DeepNeuralNetwork(
+        n_layer=3, nfft=256, n_fft=256, hidden_layer=64, bias=True,
+        activation="leaky-relu", drop_out=0.0, dnn_ema=True)
+    torch_model.eval()
+
+    x = (rng.standard_normal((2, 1, 129, 10, 2)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+
+    params, batch_stats = dnn_from_torch_state(
+        torch_model.state_dict(), n_layers=3)
+    model = DNN(n_layers=3, n_fft=256, hidden_layer=64, bias=True,
+                activation="leaky-relu", drop_out=0.0, dnn_ema=True)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      np.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
