@@ -10,6 +10,7 @@ from speech_enhancement_tpu.compat.torch_weights import (  # noqa: F401
     crn_from_torch_state,
     dccrn_from_torch_state,
     dcunet_from_torch_state,
+    demucs_from_torch_state,
     dnn_from_torch_state,
     load_torch_checkpoint,
     mel_rnn_from_torch_state,

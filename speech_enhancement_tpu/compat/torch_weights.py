@@ -567,3 +567,123 @@ def dnn_from_torch_state(
         params[f"bn_{n}"] = bn_p
         batch_stats[f"bn_{n}"] = bn_s
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# Demucs (reference src/model/demucs.py:52-491)
+# ---------------------------------------------------------------------------
+
+def _conv1d_k(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _tconv1d(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    kernel = _np(sd[f"{prefix}.weight"])[:, :, ::-1]  # ConvTranspose1d flip
+    return {"kernel": np.ascontiguousarray(kernel.transpose(2, 0, 1)),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _gn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _blstm(sd: Mapping[str, np.ndarray], prefix: str, layers: int) -> Dict[str, dict]:
+    out: Dict[str, dict] = {}
+    for k in range(layers):
+        for suffix, name in (("", f"l{k}_fwd"), ("_reverse", f"l{k}_bwd")):
+            out[name] = {
+                "w_ih": _np(sd[f"{prefix}.lstm.weight_ih_l{k}{suffix}"]).T,
+                "w_hh": _np(sd[f"{prefix}.lstm.weight_hh_l{k}{suffix}"]).T,
+                "b_ih": _np(sd[f"{prefix}.lstm.bias_ih_l{k}{suffix}"]),
+                "b_hh": _np(sd[f"{prefix}.lstm.bias_hh_l{k}{suffix}"]),
+            }
+    out["linear"] = {"kernel": _np(sd[f"{prefix}.linear.weight"]).T,
+                     "bias": _np(sd[f"{prefix}.linear.bias"])}
+    return out
+
+
+def _demucs_dconv(sd: Mapping[str, np.ndarray], base: str, depth: int,
+                  attn: bool, lstm: bool, norm: bool = True) -> Dict[str, dict]:
+    """DConv residual branch (demucs.py:139-208): per layer the Sequential
+    is [conv, norm, act, (BLSTM), (LocalState), 1x1, norm, GLU,
+    LayerScale] — the optional modules shift the later indices."""
+    out: Dict[str, dict] = {}
+    for d in range(depth):
+        p = f"{base}.layers.{d}"
+        j = 3
+        out[f"d{d}_conv"] = _conv1d_k(sd, f"{p}.0")
+        if norm:
+            out[f"d{d}_norm1"] = _gn(sd, f"{p}.1")
+        if lstm:
+            out[f"d{d}_lstm"] = _blstm(sd, f"{p}.{j}", layers=2)
+            j += 1
+        if attn:
+            a = f"{p}.{j}"
+            attn_params = {
+                name: _conv1d_k(sd, f"{a}.{name}")
+                for name in ("content", "query", "key", "proj")
+            }
+            if f"{a}.query_decay.weight" in sd:
+                attn_params["query_decay"] = _conv1d_k(sd, f"{a}.query_decay")
+            out[f"d{d}_attn"] = attn_params
+            j += 1
+        out[f"d{d}_rewrite"] = _conv1d_k(sd, f"{p}.{j}")
+        if norm:
+            out[f"d{d}_norm2"] = _gn(sd, f"{p}.{j + 1}")
+        out[f"d{d}_scale"] = {"scale": _np(sd[f"{p}.{j + 3}.scale"])}
+    return out
+
+
+def demucs_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    depth: int = 6,
+    norm_starts: int = 4,
+    dconv_attn: int = 4,
+    dconv_lstm: int = 4,
+    dconv_depth: int = 2,
+    dconv_mode: int = 1,
+    lstm_layers: int = 0,
+) -> Tuple[dict, dict]:
+    """Reference Demucs state_dict -> (params, {}) for
+    :class:`speech_enhancement_tpu.models.demucs.Demucs`.
+
+    Sequential index layout follows the constructor
+    (demucs.py:362-425); note torch's ``decoder`` ModuleList is built
+    with ``insert(0, ...)`` so list position p corresponds to original
+    index ``depth - 1 - p``.
+    """
+    params: Dict[str, dict] = {}
+    for i in range(depth):
+        use_norm = i >= norm_starts
+        params[f"enc_{i}_conv"] = _conv1d_k(state_dict, f"encoder.{i}.0")
+        if use_norm:
+            params[f"enc_{i}_norm"] = _gn(state_dict, f"encoder.{i}.1")
+        j = 3
+        if dconv_mode & 1:
+            params[f"enc_{i}_dconv"] = _demucs_dconv(
+                state_dict, f"encoder.{i}.{j}", dconv_depth,
+                attn=i >= dconv_attn, lstm=i >= dconv_lstm)
+            j += 1
+        params[f"enc_{i}_rewrite"] = _conv1d_k(state_dict, f"encoder.{i}.{j}")
+        if use_norm:
+            params[f"enc_{i}_rwnorm"] = _gn(state_dict, f"encoder.{i}.{j + 1}")
+
+        p = depth - 1 - i  # torch decoder list position for index i
+        use_norm = i >= norm_starts
+        params[f"dec_{i}_rewrite"] = _conv1d_k(state_dict, f"decoder.{p}.0")
+        if use_norm:
+            params[f"dec_{i}_rwnorm"] = _gn(state_dict, f"decoder.{p}.1")
+        j = 3
+        if dconv_mode & 2:
+            params[f"dec_{i}_dconv"] = _demucs_dconv(
+                state_dict, f"decoder.{p}.{j}", dconv_depth,
+                attn=i >= dconv_attn, lstm=i >= dconv_lstm)
+            j += 1
+        params[f"dec_{i}_tconv"] = _tconv1d(state_dict, f"decoder.{p}.{j}")
+        if i > 0 and use_norm:
+            params[f"dec_{i}_norm"] = _gn(state_dict, f"decoder.{p}.{j + 1}")
+    if lstm_layers:
+        params["lstm"] = _blstm(state_dict, "lstm", lstm_layers)
+    return params, {}

@@ -410,3 +410,44 @@ def test_dnn_parity_with_torch(rng):
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       np.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=2e-4)
+
+
+REF_DEMUCS = "/root/reference/src/model/demucs.py"
+
+
+def test_demucs_parity_with_torch(rng):
+    """Executed-reference parity for Demucs (resample=False — the
+    reference's julius dependency is absent; the resampling is orthogonal
+    to the weights): pins the encoder/decoder Sequential layouts, DConv
+    residual branches incl. framed BLSTM and decay-windowed LocalState,
+    GroupNorm/GLU/LayerScale mapping, transposed-kernel flip, skip
+    center-trims, and the normalize/denormalize envelope."""
+    import sys
+    import types
+
+    import torch
+
+    if "julius" not in sys.modules:  # imported at demucs.py top, unused
+        sys.modules["julius"] = types.ModuleType("julius")
+    mod = _load_reference_module(REF_DEMUCS, "ref_demucs")
+
+    from speech_enhancement_tpu.compat import demucs_from_torch_state
+    from speech_enhancement_tpu.models.demucs import Demucs
+
+    kwargs = dict(channels=8, growth=2.0, depth=3, kernel_size=8, stride=4,
+                  norm_starts=1, norm_groups=2, dconv_attn=1, dconv_lstm=2,
+                  dconv_depth=2, lstm_layers=2, audio_channels=1,
+                  resample=False, normalize=True, rescale=0.1)
+    torch_model = mod.Demucs(sources=["a", "b"], **kwargs)
+    torch_model.eval()
+
+    wav = (rng.standard_normal((2, 1, 1000)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(wav)).numpy()
+
+    params, _ = demucs_from_torch_state(
+        torch_model.state_dict(), depth=3, norm_starts=1, dconv_attn=1,
+        dconv_lstm=2, dconv_depth=2, lstm_layers=2)
+    model = Demucs(sources=("a", "b"), **kwargs)
+    out = model.apply({"params": params}, np.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
