@@ -15,6 +15,7 @@ from speech_enhancement_tpu.compat.torch_weights import (  # noqa: F401
     load_torch_checkpoint,
     mel_rnn_from_torch_state,
     rnn_stft_mask_from_torch_state,
+    sepformer_from_torch_state,
     unet_from_torch_state,
     wav_unet_from_torch_state,
 )

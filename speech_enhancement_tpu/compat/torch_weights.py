@@ -687,3 +687,109 @@ def demucs_from_torch_state(
     if lstm_layers:
         params["lstm"] = _blstm(state_dict, "lstm", lstm_layers)
     return params, {}
+
+
+# ---------------------------------------------------------------------------
+# Sepformer (reference src/model/sepformer/, vendored speechbrain)
+# ---------------------------------------------------------------------------
+
+def _sb_mha(sd: Mapping[str, np.ndarray], prefix: str, nhead: int) -> Dict[str, dict]:
+    """torch nn.MultiheadAttention -> flax MHA param-tree (query/key/value
+    DenseGeneral [E, H, D] + out [H, D, E])."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])  # [3E, E]
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    embed = w.shape[1]
+    head = embed // nhead
+    out: Dict[str, dict] = {}
+    for i, name in enumerate(("query", "key", "value")):
+        out[name] = {
+            "kernel": w[i * embed:(i + 1) * embed].T.reshape(embed, nhead, head),
+            "bias": b[i * embed:(i + 1) * embed].reshape(nhead, head),
+        }
+    out["out"] = {
+        "kernel": _np(sd[f"{prefix}.out_proj.weight"]).T.reshape(nhead, head, embed),
+        "bias": _np(sd[f"{prefix}.out_proj.bias"]),
+    }
+    return out
+
+
+def _sb_transformer_block(sd: Mapping[str, np.ndarray], prefix: str,
+                          num_layers: int, nhead: int) -> Dict[str, dict]:
+    """SBTransformerBlock.mdl (TransformerEncoder) -> SBTransformerBlock."""
+    def ln(key):
+        return {"scale": _np(sd[f"{key}.norm.weight"]),
+                "bias": _np(sd[f"{key}.norm.bias"])}
+
+    out: Dict[str, dict] = {}
+    for j in range(num_layers):
+        p = f"{prefix}.layers.{j}"
+        out[f"layer_{j}"] = {
+            "mha": _sb_mha(sd, f"{p}.self_att.att", nhead),
+            "ln1": ln(f"{p}.norm1"),
+            "ln2": ln(f"{p}.norm2"),
+            "ffn1": {"kernel": _np(sd[f"{p}.pos_ffn.ffn.0.weight"]).T,
+                     "bias": _np(sd[f"{p}.pos_ffn.ffn.0.bias"])},
+            "ffn2": {"kernel": _np(sd[f"{p}.pos_ffn.ffn.3.weight"]).T,
+                     "bias": _np(sd[f"{p}.pos_ffn.ffn.3.bias"])},
+        }
+    out["norm"] = ln(f"{prefix}.norm")
+    return out
+
+
+def sepformer_from_torch_state(
+    state_dict: Mapping[str, np.ndarray],
+    masknet_numlayers: int = 2,
+    intra_numlayers: int = 8,
+    inter_numlayers: int = 8,
+    intra_nhead: int = 8,
+    inter_nhead: int = 8,
+) -> Tuple[dict, dict]:
+    """Reference SepformerSeparation state_dict -> (params, {}) for
+    :class:`speech_enhancement_tpu.models.sepformer.Sepformer`.
+
+    Note the reference's TransformerEncoder LayerNorms vendor speechbrain's
+    ``LayerNorm`` wrapper, whose parameter lives under ``.norm`` (hence the
+    ``norm1.norm.weight``-style keys). ``select_norm("ln")`` GroupNorms map
+    onto the GlobalLayerNorm gamma/beta.
+    """
+    def gln(key):
+        return {"gamma": _np(sd_get(f"{key}.weight")),
+                "beta": _np(sd_get(f"{key}.bias"))}
+
+    def sd_get(key):
+        return state_dict[key]
+
+    params: Dict[str, dict] = {
+        "encoder": {"kernel": _np(state_dict["encoder.conv1d.weight"]).transpose(2, 1, 0)},
+        "input_norm": gln("masknet.norm"),
+        "input_proj": {"kernel": _np(state_dict["masknet.conv1d.weight"])[:, :, 0].T},
+        "prelu": {"alpha": _np(state_dict["masknet.prelu.weight"])},
+        "spk_expand": {
+            "kernel": _np(state_dict["masknet.conv2d.weight"])[:, :, 0, 0].T,
+            "bias": _np(state_dict["masknet.conv2d.bias"]),
+        },
+        "end_proj": {"kernel": _np(state_dict["masknet.end_conv1x1.weight"])[:, :, 0].T},
+        "output": {
+            "kernel": _np(state_dict["masknet.output.0.weight"]).transpose(2, 1, 0),
+            "bias": _np(state_dict["masknet.output.0.bias"]),
+        },
+        "output_gate": {
+            "kernel": _np(state_dict["masknet.output_gate.0.weight"]).transpose(2, 1, 0),
+            "bias": _np(state_dict["masknet.output_gate.0.bias"]),
+        },
+        "decoder": {
+            "kernel": np.ascontiguousarray(
+                _np(state_dict["decoder.weight"])[:, :, ::-1].transpose(2, 0, 1)),
+        },
+    }
+    for i in range(masknet_numlayers):
+        p = f"masknet.dual_mdl.{i}"
+        params[f"dual_{i}"] = {
+            "intra": _sb_transformer_block(
+                state_dict, f"{p}.intra_mdl.mdl", intra_numlayers, intra_nhead),
+            "inter": _sb_transformer_block(
+                state_dict, f"{p}.inter_mdl.mdl", inter_numlayers, inter_nhead),
+            "intra_norm": gln(f"{p}.intra_norm"),
+            "inter_norm": gln(f"{p}.inter_norm"),
+        }
+    return params, {}

@@ -175,7 +175,14 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     attention_type: str = "regularMHA"
     fused_attention: bool = False
+    # FFN activation: the reference's PositionalwiseFeedForward defaults to
+    # ReLU (Transformer.py:485,496-503) and SBTransformerBlock never
+    # overrides it; "gelu" kept as an option
+    ffn_activation: str = "relu"
     dtype: object = None
+
+    def _act(self, h: jnp.ndarray) -> jnp.ndarray:
+        return nn.gelu(h) if self.ffn_activation == "gelu" else nn.relu(h)
 
     def _attend(self, h: jnp.ndarray, pos_embs) -> jnp.ndarray:
         if self.attention_type == "RelPosMHAXL":
@@ -199,12 +206,12 @@ class TransformerEncoderLayer(nn.Module):
             x = x + self._attend(h, pos_embs)
             h = ln2(x)
             h = nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(h)
-            h = nn.gelu(h)
+            h = self._act(h)
             h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
             return x + h
         h = self._attend(x, pos_embs)
         x = ln1(x + h)
-        h = nn.gelu(nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(x))
+        h = self._act(nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(x))
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
         return ln2(x + h)
 
@@ -250,7 +257,9 @@ class SBTransformerBlock(nn.Module):
                 fused_attention=self.fused_attention, dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, pos_embs, train)
-        return x
+        # final stack LayerNorm (reference TransformerEncoder.norm,
+        # Transformer.py:92,133 — applied after the layer loop)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
 class SBRNNBlock(nn.Module):

@@ -451,3 +451,53 @@ def test_demucs_parity_with_torch(rng):
     model = Demucs(sources=("a", "b"), **kwargs)
     out = model.apply({"params": params}, np.asarray(wav), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
+
+
+REF_SEPFORMER_DIR = "/root/reference/src/model/sepformer"
+
+
+def test_sepformer_parity_with_torch(rng):
+    """Executed-reference parity for Sepformer (the vendored speechbrain
+    stack): pins the encoder/decoder filterbanks, the dual-path
+    segmentation/overlap-add, per-layer pre-norm MHA+FFN wiring incl. the
+    final stack LayerNorm and ReLU FFN, the GroupNorm('ln') mappings, the
+    gated output head, and the [B, S, C, T] engine-contract reshape."""
+    import sys
+    import types
+
+    import torch
+
+    pkg = types.ModuleType("ref_sepformer_pkg")
+    pkg.__path__ = [REF_SEPFORMER_DIR]
+    sys.modules["ref_sepformer_pkg"] = pkg
+    for name in ("normalization", "basic", "Transformer", "sepformer"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_sepformer_pkg.{name}", os.path.join(REF_SEPFORMER_DIR, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_sepformer_pkg.{name}"] = mod
+        spec.loader.exec_module(mod)
+    ref = sys.modules["ref_sepformer_pkg.sepformer"]
+
+    from speech_enhancement_tpu.compat import sepformer_from_torch_state
+    from speech_enhancement_tpu.models.sepformer import Sepformer
+
+    kwargs = dict(encoder_kernel_size=16, encoder_in_nchannels=1,
+                  encoder_out_nchannels=32, masknet_chunksize=50,
+                  masknet_numlayers=2, masknet_numspks=2,
+                  intra_numlayers=2, inter_numlayers=1,
+                  intra_nhead=4, inter_nhead=4, intra_dffn=64, inter_dffn=64)
+    torch_model = ref.SepformerSeparation(**kwargs)
+    torch_model.eval()
+
+    wav = (rng.standard_normal((2, 1, 2000)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        # reference contract: [B, T] in, [B, T, spks] out
+        ref_out = torch_model(torch.from_numpy(wav[:, 0])).numpy()
+    ref_out = np.transpose(ref_out, (0, 2, 1))[:, :, None, :]  # [B, S, 1, T]
+
+    params, _ = sepformer_from_torch_state(
+        torch_model.state_dict(), masknet_numlayers=2, intra_numlayers=2,
+        inter_numlayers=1, intra_nhead=4, inter_nhead=4)
+    model = Sepformer(**kwargs)
+    out = model.apply({"params": params}, np.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
