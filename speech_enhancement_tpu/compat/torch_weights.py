@@ -452,6 +452,7 @@ def _up2x2(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
 def unet_from_torch_state(
     state_dict: Mapping[str, np.ndarray],
     unet_layer: int = 4,
+    bilinear: bool = False,
 ) -> Tuple[dict, dict]:
     """Reference UNet state_dict -> (params, batch_stats) for
     :class:`speech_enhancement_tpu.models.unet.UNet` (bilinear=False
@@ -472,12 +473,13 @@ def unet_from_torch_state(
     params["middle"] = p
     batch_stats["middle"] = s
     for n in range(unet_layer):
-        if n > 0:
+        if n > 0 and not bilinear:  # bilinear Ups have no conv weights
             params[f"up_{n}"] = _up2x2(state_dict, f"decoder.{n}.up")
         p, s = _double_conv(state_dict, f"decoder.{n}.conv.double_conv")
         params[f"dec_{n}"] = p
         batch_stats[f"dec_{n}"] = s
-    params["up_out"] = _up2x2(state_dict, "outconv.up")
+    if not bilinear:
+        params["up_out"] = _up2x2(state_dict, "outconv.up")
     p, s = _double_conv(state_dict, "outconv.conv.double_conv")
     params["dec_out"] = p
     batch_stats["dec_out"] = s

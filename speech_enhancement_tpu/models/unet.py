@@ -100,15 +100,33 @@ class UNet(nn.Module):
         x = self._up(x, rev[-2], train, name="up_out")
         x = _pad_to(x, amp_nhwc.shape[1], amp_nhwc.shape[2])
         x = jnp.concatenate([x, amp_nhwc], axis=-1)
-        x = _DoubleConv(self.unet_channels, name="dec_out")(x, train)
+        # bilinear Ups use mid = in_channels // 2 (reference Up.__init__)
+        x = _DoubleConv(
+            self.unet_channels,
+            mid_features=rev[-2] // 2 if self.bilinear else None,
+            name="dec_out",
+        )(x, train)
 
         mask = jnp.moveaxis(x, -1, 1)  # [B, C, F, T]
         return mix * mask[..., None]
 
     def _up(self, x: jnp.ndarray, in_channels: int, train: bool, name: str) -> jnp.ndarray:
         if self.bilinear:
-            b, h, w, c = x.shape
-            return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+            # torch nn.Upsample(scale_factor=2, align_corners=True):
+            # output i maps to input i*(n-1)/(2n-1) — jax.image.resize has
+            # no align_corners mode, so interpolate explicitly
+            def up1d(y, axis):
+                n = y.shape[axis]
+                pos = jnp.arange(2 * n) * (n - 1) / (2 * n - 1)
+                lo = jnp.floor(pos).astype(jnp.int32)
+                hi = jnp.minimum(lo + 1, n - 1)
+                frac_shape = [1] * y.ndim
+                frac_shape[axis] = 2 * n
+                frac = (pos - lo).reshape(frac_shape)
+                take = lambda idx: jnp.take(y, idx, axis=axis)  # noqa: E731
+                return take(lo) * (1.0 - frac) + take(hi) * frac
+
+            return up1d(up1d(x, 1), 2)
         return nn.ConvTranspose(
             in_channels // 2, (2, 2), strides=(2, 2), padding="VALID", name=name
         )(x)

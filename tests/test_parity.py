@@ -303,18 +303,20 @@ def test_wav_unet_parity_with_torch(rng):
 REF_UNET = "/root/reference/src/model/unet.py"
 
 
-def test_unet_parity_with_torch(rng):
-    """Executed-reference parity for UNet (bilinear=False): pins the
-    DoubleConv/Down/Up wiring, BatchNorm2d mapping, the 2x2 transposed-conv
-    flip, skip-concat order, the center-pad, and the power-amplitude
-    quirk (|re^2 + im^2|, unet.py:40)."""
+@pytest.mark.parametrize("bilinear", [False, True])
+def test_unet_parity_with_torch(bilinear, rng):
+    """Executed-reference parity for UNet: pins the DoubleConv/Down/Up
+    wiring, BatchNorm2d mapping, the 2x2 transposed-conv flip (or the
+    align_corners bilinear upsampling), skip-concat order, the
+    center-pad, and the power-amplitude quirk (|re^2 + im^2|,
+    unet.py:40)."""
     import torch
 
     from speech_enhancement_tpu.compat import unet_from_torch_state
     from speech_enhancement_tpu.models.unet import UNet
 
     mod = _load_reference_module(REF_UNET, "ref_unet")
-    torch_model = mod.UNet(unet_channels=1, unet_layer=2, bilinear=False)
+    torch_model = mod.UNet(unet_channels=1, unet_layer=2, bilinear=bilinear)
     torch_model.eval()
 
     x = (rng.standard_normal((2, 1, 64, 32, 2)) * 0.5).astype(np.float32)
@@ -322,8 +324,8 @@ def test_unet_parity_with_torch(rng):
         ref_out = torch_model(torch.from_numpy(x)).numpy()
 
     params, batch_stats = unet_from_torch_state(
-        torch_model.state_dict(), unet_layer=2)
-    model = UNet(unet_channels=1, unet_layer=2, bilinear=False)
+        torch_model.state_dict(), unet_layer=2, bilinear=bilinear)
+    model = UNet(unet_channels=1, unet_layer=2, bilinear=bilinear)
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       np.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5, rtol=5e-4)
