@@ -224,6 +224,11 @@ class Demucs(nn.Module):
     rescale: float = 0.1
     # compute dtype for convs/LSTM ("bfloat16" = TPU fast path); params f32
     dtype: str = "float32"
+    # rematerialize each encoder/decoder layer in the backward pass: at
+    # 510 MB params the saved activations of batch 16 x 4 s exceed one
+    # v5e chip's 16 GB HBM without it. Param names are unchanged (the
+    # lifted transform wraps methods of this module, not submodules).
+    remat: bool = False
 
     def valid_length(self, length: int) -> int:
         """Nearest padded length with no conv remainder (demucs.py:430-451)."""
@@ -258,73 +263,25 @@ class Demucs(nn.Module):
 
         compute_dtype = jnp.dtype(self.dtype)
         x = jnp.swapaxes(x, 1, 2).astype(compute_dtype)  # NWC
-        ch_scale = 2 if self.glu else 1
-        act_gate = (lambda v: jax.nn.glu(v, axis=-1)) if self.glu else nn.relu
 
-        channels = self.channels
+        enc_layer = Demucs._enc_layer
+        dec_layer = Demucs._dec_layer
+        if self.remat:
+            enc_layer = nn.remat(enc_layer, static_argnums=(2,))
+            dec_layer = nn.remat(dec_layer, static_argnums=(3,))
+
         saved = []
-        enc_channels = []
         for index in range(self.depth):
-            use_norm = index >= self.norm_starts
-            x = nn.Conv(channels, (self.kernel_size,), strides=(self.stride,),
-                        padding="VALID", dtype=compute_dtype,
-                        name=f"enc_{index}_conv")(x)
-            if use_norm:
-                x = nn.GroupNorm(num_groups=self.norm_groups, name=f"enc_{index}_norm")(x)
-            x = nn.gelu(x)
-            if self.dconv_mode & 1:
-                x = DConv(
-                    channels, compress=self.dconv_comp, depth=self.dconv_depth,
-                    init=self.dconv_init, attn=index >= self.dconv_attn,
-                    lstm=index >= self.dconv_lstm, dtype=compute_dtype,
-                    name=f"enc_{index}_dconv",
-                )(x)
-            if self.rewrite:
-                x = nn.Conv(ch_scale * channels, (1,), dtype=compute_dtype,
-                            name=f"enc_{index}_rewrite")(x)
-                if use_norm:
-                    x = nn.GroupNorm(num_groups=self.norm_groups,
-                                     name=f"enc_{index}_rwnorm")(x)
-                x = act_gate(x)
+            x = enc_layer(self, x, index)
             saved.append(x)
-            enc_channels.append(channels)
-            channels = int(self.growth * channels)
 
         if self.lstm_layers:
-            x = BLSTM(enc_channels[-1], layers=self.lstm_layers, name="lstm")(x)
+            x = BLSTM(self._enc_channels()[-1], layers=self.lstm_layers,
+                      name="lstm")(x)
 
-        for rev, index in enumerate(range(self.depth - 1, -1, -1)):
-            channels = enc_channels[index]
-            out_channels = (
-                enc_channels[index - 1] if index > 0
-                else len(self.sources) * self.audio_channels
-            )
-            use_norm = index >= self.norm_starts
-            skip = saved.pop(-1)
-            x = x + center_trim(skip, x.shape[1], axis=1)
-            if self.rewrite:
-                x = nn.Conv(ch_scale * channels, (2 * self.context + 1,),
-                            padding=[(self.context, self.context)],
-                            dtype=compute_dtype, name=f"dec_{index}_rewrite")(x)
-                if use_norm:
-                    x = nn.GroupNorm(num_groups=self.norm_groups,
-                                     name=f"dec_{index}_rwnorm")(x)
-                x = act_gate(x)
-            if self.dconv_mode & 2:
-                x = DConv(
-                    channels, compress=self.dconv_comp, depth=self.dconv_depth,
-                    init=self.dconv_init, attn=index >= self.dconv_attn,
-                    lstm=index >= self.dconv_lstm, dtype=compute_dtype,
-                    name=f"dec_{index}_dconv",
-                )(x)
-            x = nn.ConvTranspose(out_channels, (self.kernel_size,),
-                                 strides=(self.stride,), padding="VALID",
-                                 dtype=compute_dtype, name=f"dec_{index}_tconv")(x)
-            if index > 0:
-                if use_norm:
-                    x = nn.GroupNorm(num_groups=self.norm_groups,
-                                     name=f"dec_{index}_norm")(x)
-                x = nn.gelu(x)
+        for index in range(self.depth - 1, -1, -1):
+            skip = center_trim(saved.pop(-1), x.shape[1], axis=1)
+            x = dec_layer(self, x, skip, index)
 
         x = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # back to [B, C', T]
         if self.resample:
@@ -332,6 +289,82 @@ class Demucs(nn.Module):
         x = x * std + mean
         x = center_trim(x, length, axis=-1)
         return x.reshape(x.shape[0], len(self.sources), self.audio_channels, x.shape[-1])
+
+    def _enc_channels(self):
+        channels, out = self.channels, []
+        for _ in range(self.depth):
+            out.append(channels)
+            channels = int(self.growth * channels)
+        return out
+
+    def _enc_layer(self, x: jnp.ndarray, index: int) -> jnp.ndarray:
+        """One encoder layer (conv + norm + GELU [+ DConv] [+ GLU rewrite]).
+        A method (not a submodule) so ``nn.remat`` can wrap it without
+        changing parameter paths."""
+        compute_dtype = jnp.dtype(self.dtype)
+        ch_scale = 2 if self.glu else 1
+        act_gate = (lambda v: jax.nn.glu(v, axis=-1)) if self.glu else nn.relu
+        channels = self._enc_channels()[index]
+        use_norm = index >= self.norm_starts
+        x = nn.Conv(channels, (self.kernel_size,), strides=(self.stride,),
+                    padding="VALID", dtype=compute_dtype,
+                    name=f"enc_{index}_conv")(x)
+        if use_norm:
+            x = nn.GroupNorm(num_groups=self.norm_groups, name=f"enc_{index}_norm")(x)
+        x = nn.gelu(x)
+        if self.dconv_mode & 1:
+            x = DConv(
+                channels, compress=self.dconv_comp, depth=self.dconv_depth,
+                init=self.dconv_init, attn=index >= self.dconv_attn,
+                lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                name=f"enc_{index}_dconv",
+            )(x)
+        if self.rewrite:
+            x = nn.Conv(ch_scale * channels, (1,), dtype=compute_dtype,
+                        name=f"enc_{index}_rewrite")(x)
+            if use_norm:
+                x = nn.GroupNorm(num_groups=self.norm_groups,
+                                 name=f"enc_{index}_rwnorm")(x)
+            x = act_gate(x)
+        return x
+
+    def _dec_layer(self, x: jnp.ndarray, skip: jnp.ndarray, index: int) -> jnp.ndarray:
+        """One decoder layer (skip add + context rewrite [+ DConv] + tconv)."""
+        compute_dtype = jnp.dtype(self.dtype)
+        ch_scale = 2 if self.glu else 1
+        act_gate = (lambda v: jax.nn.glu(v, axis=-1)) if self.glu else nn.relu
+        enc_channels = self._enc_channels()
+        channels = enc_channels[index]
+        out_channels = (
+            enc_channels[index - 1] if index > 0
+            else len(self.sources) * self.audio_channels
+        )
+        use_norm = index >= self.norm_starts
+        x = x + skip
+        if self.rewrite:
+            x = nn.Conv(ch_scale * channels, (2 * self.context + 1,),
+                        padding=[(self.context, self.context)],
+                        dtype=compute_dtype, name=f"dec_{index}_rewrite")(x)
+            if use_norm:
+                x = nn.GroupNorm(num_groups=self.norm_groups,
+                                 name=f"dec_{index}_rwnorm")(x)
+            x = act_gate(x)
+        if self.dconv_mode & 2:
+            x = DConv(
+                channels, compress=self.dconv_comp, depth=self.dconv_depth,
+                init=self.dconv_init, attn=index >= self.dconv_attn,
+                lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                name=f"dec_{index}_dconv",
+            )(x)
+        x = nn.ConvTranspose(out_channels, (self.kernel_size,),
+                             strides=(self.stride,), padding="VALID",
+                             dtype=compute_dtype, name=f"dec_{index}_tconv")(x)
+        if index > 0:
+            if use_norm:
+                x = nn.GroupNorm(num_groups=self.norm_groups,
+                                 name=f"dec_{index}_norm")(x)
+            x = nn.gelu(x)
+        return x
 
     def post_init_params(self, params):
         """Weight-rescale init (reference rescale_module, demucs.py:123-136):

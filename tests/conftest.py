@@ -32,3 +32,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    """Pin torch's global RNG per test: the parity tests build reference
+    nn.Modules with default (global-RNG) init, so without this their
+    weights — and the marginal numerical error vs our implementation —
+    depend on which tests ran earlier in the process (observed as an
+    order-dependent demucs-parity flake)."""
+    import torch
+
+    torch.manual_seed(0)
+    yield

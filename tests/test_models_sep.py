@@ -85,6 +85,33 @@ def test_demucs_valid_length():
     assert m.valid_length(8000) >= 8000
 
 
+def test_demucs_remat_matches(rng):
+    """remat=True must be a pure memory/time trade: same params tree,
+    identical forward, matching grads (the lifted transform wraps methods
+    of the module, so parameter paths cannot change)."""
+    from speech_enhancement_tpu.models.demucs import Demucs
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 4000)).astype(np.float32) * 0.1)
+    kwargs = dict(sources=(None, None), audio_channels=2, channels=8,
+                  depth=4, dconv_attn=2, dconv_lstm=3)
+    base = Demucs(**kwargs)
+    rematted = Demucs(remat=True, **kwargs)
+    variables = base.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        rematted.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(variables)
+
+    def loss(model, params):
+        return jnp.mean(jnp.abs(model.apply({"params": params}, x, train=True)))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(rematted, p))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_sepformer(rng):
     x = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32) * 0.1)
     cfg = {"name": "sepformer", "encoder_out_nchannels": 32, "masknet_chunksize": 50,

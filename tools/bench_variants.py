@@ -2,7 +2,8 @@
 """Time DCCRN train-step variants on the live TPU.
 
 Usage: python tools/bench_variants.py base fold remat fold+remat ...
-Variant grammar: '+'-joined flags out of {base, fold, remat, f32}.
+Variant grammar: '+'-joined flags out of {base, fold, remat, save, f32,
+nchw, fusedblk, scanN, batchN} — e.g. 'fusedblk+fold+remat+save+scan4+batch128'.
 """
 
 import os
@@ -31,6 +32,10 @@ def run_variant(name: str) -> float:
     from speech_enhancement_tpu.train.losses import mse_loss
 
     flags = set(name.split("+"))
+    batch = 16
+    for f in flags:
+        if f.startswith("batch"):
+            batch = int(f[5:])
     model = DCCRN(
         dtype="float32" if "f32" in flags else "bfloat16",
         cbn_fold="fold" in flags,
@@ -42,8 +47,8 @@ def run_variant(name: str) -> float:
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    mixture = jax.random.normal(k1, (16, 1, 64000)) * 0.1
-    target = jax.random.normal(k2, (16, 1, 64000)) * 0.1
+    mixture = jax.random.normal(k1, (batch, 1, 64000)) * 0.1
+    target = jax.random.normal(k2, (batch, 1, 64000)) * 0.1
     variables = model.init(k3, mixture)
     state = {
         "params": variables["params"],
@@ -111,7 +116,7 @@ def run_variant(name: str) -> float:
             print(f"  non-finite at dispatch {it}: {loss}", flush=True)
     times.sort()
     dt = times[len(times) // 2] / n_scan
-    print(f"{name:24s} {dt*1000:8.1f} ms/step  {16/dt:7.1f} utt/s  loss={lv:.5f}",
+    print(f"{name:24s} {dt*1000:8.1f} ms/step  {batch/dt:7.1f} utt/s  loss={lv:.5f}",
           flush=True)
     return dt
 
