@@ -14,6 +14,7 @@ from speech_enhancement_tpu.compat.torch_weights import (  # noqa: F401
     dnn_from_torch_state,
     load_torch_checkpoint,
     mel_rnn_from_torch_state,
+    params_from_torch_checkpoint,
     rnn_stft_mask_from_torch_state,
     sepformer_from_torch_state,
     unet_from_torch_state,

@@ -795,3 +795,68 @@ def sepformer_from_torch_state(
             "inter_norm": gln(f"{p}.inter_norm"),
         }
     return params, {}
+
+
+def params_from_torch_checkpoint(path: str, model_cfg) -> Tuple[dict, dict]:
+    """Load a reference ``.pth``/``.tar`` checkpoint and convert it for the
+    model named in ``model_cfg`` (a config mapping with ``.get``).
+
+    The config-driven face of the per-family converters above: this is what
+    lets ``solver.preloaded_model: <reference .pth>`` work directly, the
+    migration analogue of the reference's own weights-only preload
+    (src/solver.py:262-279). tcn has nothing to import (the reference's
+    tcn.py is an unimplemented stub).
+    """
+    sd = load_torch_checkpoint(path)
+    get = model_cfg.get
+    name = get("name")
+    if name == "dccrn":
+        kernel_num = get("kernel_num", (16, 32, 64, 128, 256, 256))
+        return dccrn_from_torch_state(
+            sd, n_encoder=len(tuple(kernel_num)),
+            rnn_layers=int(get("rnn_layers", 2)))
+    if name == "mel-rnn":
+        return mel_rnn_from_torch_state(
+            sd, rnn_layer=int(get("rnn_layer", 2)),
+            rnn_type=str(get("rnn_type", "rnn")))
+    if name == "rnn-stft-mask":
+        return rnn_stft_mask_from_torch_state(
+            sd, rnn_layer=int(get("rnn_layer", 2)),
+            rnn_type=str(get("rnn_type", "rnn")),
+            bidirectional=bool(get("bidirectional", False)))
+    if name == "crn":
+        return crn_from_torch_state(sd)
+    if name == "unet":
+        return unet_from_torch_state(
+            sd, unet_layer=int(get("unet_layer", 4)),
+            bilinear=bool(get("bilinear", False)))
+    if name == "dcunet":
+        return dcunet_from_torch_state(sd, model_depth=int(get("model_depth", 10)))
+    if name == "dnn":
+        return dnn_from_torch_state(sd, n_layers=int(get("n_layers", 4)))
+    if name == "wav-unet":
+        return wav_unet_from_torch_state(
+            sd, unet_nlayers=int(get("unet_nlayers", 12)))
+    if name == "conv-tasnet":
+        return conv_tasnet_from_torch_state(
+            sd, R=int(get("R", 2)), X=int(get("X", 7)),
+            skip=bool(get("skip", False)))
+    if name == "demucs":
+        return demucs_from_torch_state(
+            sd, depth=int(get("depth", 6)),
+            norm_starts=int(get("norm_starts", 4)),
+            dconv_attn=int(get("dconv_attn", 4)),
+            dconv_lstm=int(get("dconv_lstm", 4)),
+            dconv_depth=int(get("dconv_depth", 2)),
+            dconv_mode=int(get("dconv_mode", 1)),
+            lstm_layers=int(get("lstm_layers", 0)))
+    if name == "sepformer":
+        return sepformer_from_torch_state(
+            sd, masknet_numlayers=int(get("masknet_numlayers", 2)),
+            intra_numlayers=int(get("intra_numlayers", 8)),
+            inter_numlayers=int(get("inter_numlayers", 8)),
+            intra_nhead=int(get("intra_nhead", 8)),
+            inter_nhead=int(get("inter_nhead", 8)))
+    raise ValueError(
+        f"no torch-checkpoint importer for model {name!r} "
+        "(tcn is an unimplemented stub in the reference)")

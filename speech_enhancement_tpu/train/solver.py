@@ -746,6 +746,22 @@ class Solver:
         print(f"resumed from {path}")
 
     def _preload_model(self, path: str) -> None:
+        if path.endswith((".pth", ".pt", ".tar")):
+            # reference torch checkpoint: convert in place (the reference's
+            # own preload also takes bare .pth weights, solver.py:262-279)
+            from speech_enhancement_tpu.compat import params_from_torch_checkpoint
+
+            params, batch_stats = params_from_torch_checkpoint(
+                path, self.config.model)
+            self.state["params"] = jax.tree.map(
+                lambda old, new: jnp.asarray(new, old.dtype),
+                self.state["params"], jax.device_put(params))
+            if batch_stats:
+                self.state["batch_stats"] = jax.tree.map(
+                    lambda old, new: jnp.asarray(new, old.dtype),
+                    self.state["batch_stats"], jax.device_put(batch_stats))
+            print(f"imported torch weights from {path}")
+            return
         restored = ckpt.load_checkpoint(path, {"params": self.state["params"]})
         self.state["params"] = restored["params"]
         print(f"preloaded weights from {path}")

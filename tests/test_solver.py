@@ -251,3 +251,45 @@ def test_int16_wire_matches_f32(vbd_root, tmp_path):
         np.asarray(sa.scores["val_loss"]), np.asarray(sb.scores["val_loss"]),
         rtol=2e-3, atol=1e-5,
     )
+
+
+def test_preload_torch_checkpoint(vbd_root, tmp_path):
+    """solver.preloaded_model pointed at a reference torch .pth imports the
+    weights through compat (the reference's own preload takes bare .pth,
+    src/solver.py:262-279)."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+
+    pkg = types.ModuleType("ref_model_pkg")
+    pkg.__path__ = ["/root/reference/src/model"]
+    sys.modules["ref_model_pkg"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_pkg.ema", "/root/reference/src/model/ema.py")
+    ema_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ema_mod)
+    sys.modules["ref_model_pkg.ema"] = ema_mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_pkg.dnn", "/root/reference/src/model/dnn.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch_model = mod.DeepNeuralNetwork(
+        n_layer=2, nfft=256, n_fft=256, hidden_layer=64, bias=True,
+        activation="leaky-relu", drop_out=0.1, dnn_ema=True)
+    pth = str(tmp_path / "ref_dnn.pth")
+    torch.save(torch_model.state_dict(), pth)
+
+    cfg = _config(vbd_root, str(tmp_path))
+    cfg.solver["preloaded_model"] = pth
+    solver = main(cfg, mode="validation", return_solver=True)
+
+    from speech_enhancement_tpu.compat import dnn_from_torch_state
+
+    params, batch_stats = dnn_from_torch_state(torch_model.state_dict(), n_layers=2)
+    for mine, ref in zip(jax_leaves(solver.state["params"]), jax_leaves(params)):
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-6)
+    for mine, ref in zip(jax_leaves(solver.state["batch_stats"]), jax_leaves(batch_stats)):
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-6)
