@@ -217,6 +217,8 @@ _DEFAULTS: Dict[str, Any] = {
         "save_checkpoint_interval": 1,
         "patience": 40,
         "resume": "",
+        # weights-only preload: a framework .ckpt, or a reference torch
+        # .pth/.pt/.tar (imported via compat.params_from_torch_checkpoint)
         "preloaded_model": "",
         "validation": {"total_steps": 4, "interval": 1, "metric": "loss"},
         "test": {"total_steps": 4, "interval": 10, "num_show": 2, "metric": "sisdr"},

@@ -503,3 +503,47 @@ def test_sepformer_parity_with_torch(rng):
     model = Sepformer(**kwargs)
     out = model.apply({"params": params}, np.asarray(wav), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
+
+
+def test_params_from_torch_checkpoint_dispatch(rng, tmp_path):
+    """The config-driven dispatcher (Solver .pth preload) must thread each
+    family's architecture kwargs from the model config — exercised here on
+    the two trickiest: UNet (bilinear) and Conv-TasNet (skip + R/X)."""
+    import torch
+
+    from speech_enhancement_tpu.compat import params_from_torch_checkpoint
+    from speech_enhancement_tpu.config import Config
+    from speech_enhancement_tpu.models.conv_tasnet import ConvTasNet
+    from speech_enhancement_tpu.models.unet import UNet
+
+    mod = _load_reference_module(REF_UNET, "ref_unet")
+    torch_model = mod.UNet(unet_channels=1, unet_layer=2, bilinear=True)
+    torch_model.eval()
+    pth = str(tmp_path / "unet.pth")
+    torch.save(torch_model.state_dict(), pth)
+    cfg = Config({"name": "unet", "unet_channels": 1, "unet_layer": 2,
+                  "bilinear": True})
+    params, batch_stats = params_from_torch_checkpoint(pth, cfg)
+    x = (rng.standard_normal((1, 1, 64, 16, 2)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x)).numpy()
+    out = UNet(unet_channels=1, unet_layer=2, bilinear=True).apply(
+        {"params": params, "batch_stats": batch_stats}, np.asarray(x),
+        train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5, rtol=5e-4)
+
+    mod = _load_reference_module(REF_CONV_TASNET, "ref_conv_tasnet")
+    kwargs = dict(N=16, L=16, B=16, H=32, P=3, X=2, R=3, audio_channels=1,
+                  norm_type="gLN")
+    torch_model = mod.ConvTasNet(sources=["a", "b"], skip=True, **kwargs)
+    torch_model.eval()
+    pth = str(tmp_path / "tasnet.pth")
+    torch.save(torch_model.state_dict(), pth)
+    cfg = Config({"name": "conv-tasnet", "R": 3, "X": 2, "skip": True})
+    params, _ = params_from_torch_checkpoint(pth, cfg)
+    wav = (rng.standard_normal((1, 1, 1600)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(wav)).numpy()
+    model = ConvTasNet(sources=("a", "b"), skip=True, **kwargs)
+    out = model.apply({"params": params}, np.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-3)
