@@ -168,5 +168,34 @@ def main():
     }))
 
 
+def _run_with_retries() -> int:
+    """Re-exec the bench in child processes, retrying on axon-relay flaps.
+
+    The single-chip tunnel intermittently refuses claims with
+    'UNAVAILABLE: TPU backend setup/compile error' (a failed claim-wait
+    takes ~25 min); a failed backend init is cached process-wide in JAX,
+    so each retry needs a fresh process. Stdout (the one JSON line) passes
+    straight through; diagnostics go to stderr.
+    """
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("SE_BENCH_ATTEMPTS", "3"))
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run"])
+        if proc.returncode == 0:
+            return 0
+        print(f"bench attempt {attempt + 1}/{attempts} failed "
+              f"(rc={proc.returncode}); retrying", file=sys.stderr, flush=True)
+        time.sleep(120)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--run" in sys.argv:
+        main()
+    else:
+        sys.exit(_run_with_retries())
