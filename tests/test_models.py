@@ -5,6 +5,8 @@ input -> forward -> shape check, SURVEY §4), plus a gradient-finiteness
 check the reference lacks. Small configs keep CPU runtime sane.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -194,3 +196,19 @@ def test_dccrn_remat_policy_grads_match(rng):
     )
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_policy)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_models_smoke_cli():
+    """python -m speech_enhancement_tpu.models <name> — the zoo-wide
+    equivalent of the reference's per-model __main__ smoke blocks
+    (e.g. src/model/dccrn.py:749-807)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "speech_enhancement_tpu.models", "mel-rnn",
+         "--seconds", "0.3"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr
+    assert "mel-rnn" in proc.stdout and "params" in proc.stdout
