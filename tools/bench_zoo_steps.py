@@ -97,8 +97,10 @@ def bench(config_name: str, batch: int = BATCH):
         return state, losses
 
     rng = jax.random.PRNGKey(3)
+    t_compile0 = time.perf_counter()
     state, losses = scan_steps(state, rng)
     float(losses[-1])
+    t_compile = time.perf_counter() - t_compile0  # compile + first dispatch wall
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -108,7 +110,8 @@ def bench(config_name: str, batch: int = BATCH):
     times.sort()
     dt = times[len(times) // 2] / SCAN
     print(f"{config_name:24s} batch {batch:2d} {dt*1000:8.1f} ms/step  "
-          f"{batch/dt:7.1f} utt/s  loss={float(losses[-1]):.5f}", flush=True)
+          f"{batch/dt:7.1f} utt/s  loss={float(losses[-1]):.5f}  "
+          f"compile+first {t_compile:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
