@@ -36,6 +36,11 @@ class RNNSTFTMask(nn.Module):
     # batch (same class as MelRNN's quirk). Default False = proper time
     # recurrence; True reproduces the reference execution exactly.
     rnn_over_batch_compat: bool = False
+    # compute dtype for the RNN stack ("bfloat16" is the TPU fast path — the
+    # model is recurrent-matmul-bound: 3x bidirectional 896-wide LSTMs);
+    # params, BatchNorm, Dense head and the mask multiply stay float32.
+    dtype: str = "float32"
+    rnn_unroll: int = 8  # lax.scan unroll (amortizes loop overhead on TPU)
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -50,7 +55,8 @@ class RNNSTFTMask(nn.Module):
             rnn_type=self.rnn_type, hidden_size=self.rnn_hidden,
             num_layers=self.rnn_layer, bidirectional=self.bidirectional,
             dropout=self.drop_out, use_bias=False, name="rnn",
-        )(mask, train=train)
+            unroll=self.rnn_unroll, dtype=jnp.dtype(self.dtype),
+        )(mask, train=train).astype(jnp.float32)
         if self.rnn_over_batch_compat:
             mask = jnp.swapaxes(mask, 0, 1)
         mask = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(mask)

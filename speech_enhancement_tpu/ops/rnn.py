@@ -103,6 +103,8 @@ class GRULayer(nn.Module):
     hidden_size: int
     reverse: bool = False
     use_bias: bool = True
+    unroll: int = 1
+    dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +119,17 @@ class GRULayer(nn.Module):
         else:
             b_ih = b_hh = 0.0
 
-        x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+        w_ih = w_ih.astype(compute_dtype)
+        w_hh = w_hh.astype(compute_dtype)
+        if self.use_bias:
+            b_ih = b_ih.astype(compute_dtype)
+            b_hh = b_hh.astype(compute_dtype)
+
+        x_proj = jnp.einsum(
+            "btd,dh->bth", x, w_ih, preferred_element_type=jnp.float32
+        ).astype(compute_dtype) + b_ih
         x_proj = jnp.swapaxes(x_proj, 0, 1)
         h0 = jnp.zeros((batch, h_dim), x.dtype)
 
@@ -131,7 +143,8 @@ class GRULayer(nn.Module):
             h_new = (1.0 - z) * n + z * h
             return h_new, h_new
 
-        _, out = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
+        _, out = jax.lax.scan(step, h0, x_proj, reverse=self.reverse,
+                              unroll=self.unroll)
         return jnp.swapaxes(out, 0, 1)
 
 
@@ -141,6 +154,8 @@ class VanillaRNNLayer(nn.Module):
     hidden_size: int
     reverse: bool = False
     use_bias: bool = True
+    unroll: int = 1
+    dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -151,14 +166,24 @@ class VanillaRNNLayer(nn.Module):
         w_hh = self.param("w_hh", init, (h_dim, h_dim))
         b = self.param("b", init, (h_dim,)) if self.use_bias else 0.0
 
-        x_proj = jnp.swapaxes(jnp.einsum("btd,dh->bth", x, w_ih) + b, 0, 1)
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+        w_ih = w_ih.astype(compute_dtype)
+        w_hh = w_hh.astype(compute_dtype)
+        if self.use_bias:
+            b = b.astype(compute_dtype)
+
+        x_proj = jnp.swapaxes(jnp.einsum(
+            "btd,dh->bth", x, w_ih, preferred_element_type=jnp.float32
+        ).astype(compute_dtype) + b, 0, 1)
         h0 = jnp.zeros((batch, h_dim), x.dtype)
 
         def step(h, xp):
             h_new = jnp.tanh(xp + jnp.dot(h, w_hh, preferred_element_type=jnp.float32).astype(x.dtype))
             return h_new, h_new
 
-        _, out = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
+        _, out = jax.lax.scan(step, h0, x_proj, reverse=self.reverse,
+                              unroll=self.unroll)
         return jnp.swapaxes(out, 0, 1)
 
 
@@ -175,17 +200,23 @@ class RNNStack(nn.Module):
     bidirectional: bool = False
     dropout: float = 0.0
     use_bias: bool = True
+    unroll: int = 1
+    dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         layer_cls = {"lstm": LSTMLayer, "gru": GRULayer, "rnn": VanillaRNNLayer}[self.rnn_type]
         out = x
         for layer in range(self.num_layers):
-            fwd = layer_cls(self.hidden_size, use_bias=self.use_bias, name=f"l{layer}_fwd")(out)
+            fwd = layer_cls(self.hidden_size, use_bias=self.use_bias,
+                            unroll=self.unroll, dtype=self.dtype,
+                            name=f"l{layer}_fwd")(out)
             if isinstance(fwd, tuple):
                 fwd = fwd[0]
             if self.bidirectional:
-                bwd = layer_cls(self.hidden_size, reverse=True, use_bias=self.use_bias, name=f"l{layer}_bwd")(out)
+                bwd = layer_cls(self.hidden_size, reverse=True, use_bias=self.use_bias,
+                                unroll=self.unroll, dtype=self.dtype,
+                                name=f"l{layer}_bwd")(out)
                 if isinstance(bwd, tuple):
                     bwd = bwd[0]
                 out = jnp.concatenate([fwd, bwd], axis=-1)

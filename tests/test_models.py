@@ -84,6 +84,20 @@ def test_rnn_stft_mask_multi_speaker(rng):
     _grad_ok(model, variables, x)
 
 
+def test_rnn_stft_mask_bf16_compute(rng):
+    # dtype knob: bf16 recurrence (TPU fast path), f32 params/output
+    f, t = _stft_shape()
+    x = jnp.asarray(rng.standard_normal((2, 2, f, t, 2)).astype(np.float32))
+    cfg = {"name": "rnn-stft-mask", "num_spk": 2, "n_fft": 256, "rnn_hidden": 32,
+           "rnn_layer": 2, "rnn_type": "lstm", "bidirectional": True,
+           "drop_out": 0.2, "dtype": "bfloat16"}
+    model, spec, variables, out = _forward(cfg, x)
+    assert out.shape == (2, 2, 2, f, t, 2) and out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    assert jax.tree_util.tree_leaves(variables["params"])[0].dtype == jnp.float32
+    _grad_ok(model, variables, x)
+
+
 def test_crn_forward(rng):
     # CRN hardcodes the n_fft=512 geometry (1792-wide LSTM)
     f, t = 257, 12

@@ -90,3 +90,23 @@ def test_complex_lstm_cross_combination(rng):
     # with zero imaginary input, out_i should be exactly proj_i(Li(xr))
     zr, zi = model.apply(params, xr, jnp.zeros_like(xi))
     assert np.abs(np.asarray(zi)).max() > 0  # cross term alive
+
+
+def test_rnn_stack_bf16_close_to_f32(rng):
+    # compute-dtype knob: same params, bf16 recurrence tracks the f32 one
+    # (params stay float32; only compute is cast). Covers lstm/gru/rnn.
+    x = jnp.asarray(rng.standard_normal((2, 40, 20)).astype(np.float32))
+    for rnn_type in ("lstm", "gru", "rnn"):
+        f32 = RNNStack(rnn_type=rnn_type, hidden_size=24, num_layers=2,
+                       bidirectional=True)
+        bf16 = RNNStack(rnn_type=rnn_type, hidden_size=24, num_layers=2,
+                        bidirectional=True, dtype=jnp.bfloat16, unroll=4)
+        params = f32.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(f32.apply(params, x), np.float32)
+        b = np.asarray(bf16.apply(params, x), np.float32)
+        assert b.dtype == np.float32 or b.dtype == np.dtype("bfloat16")
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < 0.05, rnn_type
+        # params untouched by the compute cast
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        assert leaf.dtype == jnp.float32
