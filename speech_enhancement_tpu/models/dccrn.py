@@ -150,6 +150,11 @@ class _ComplexConvBlock(nn.Module):
     dtype: object = None
     cbn_fold: bool = False
     layout: str = "nhwc"
+    # "offline": causal time pad (1, 0) inside the conv (the training/batch
+    # path). "stream": NO time pad — the streaming caller prepends the
+    # cached previous frame itself (serve/streaming.py), so one chunk's
+    # output frames are exactly the offline frames at those indices.
+    time_mode: str = "offline"
 
     @nn.compact
     def __call__(self, x2, train: bool):
@@ -167,7 +172,9 @@ class _ComplexConvBlock(nn.Module):
         if self.dtype is not None:
             x2 = x2.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
-        pad = ((2, 2), (1, 0))  # freq symmetric, time causal (dccrn.py:358-361)
+        # freq symmetric, time causal (dccrn.py:358-361); stream mode gets
+        # the previous frame prepended by the caller instead of a zero pad
+        pad = ((2, 2), (1, 0) if self.time_mode == "offline" else (0, 0))
         if nchw:
             y2 = jax.lax.conv_general_dilated(
                 x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), pad,
@@ -195,6 +202,12 @@ class _ComplexDeconvBlock(nn.Module):
     dtype: object = None
     cbn_fold: bool = False
     layout: str = "nhwc"
+    # "offline": time slice [1:] after the VALID transpose (the reference's
+    # chomp, dccrn.py:196 — a one-frame LOOKAHEAD per decoder layer).
+    # "stream": the caller prepends the cached previous input frame, and the
+    # slice becomes [1:-1] so the K output frames are exactly the offline
+    # frames shifted one earlier (serve/streaming.py's delay-line form).
+    time_mode: str = "offline"
 
     @nn.compact
     def __call__(self, x2, train: bool):
@@ -216,19 +229,20 @@ class _ComplexDeconvBlock(nn.Module):
         # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
         # VALID transpose gives (in-1)*2 + 5 freq rows; torch's padding=2 /
         # output_padding=1 crops 2 left and (2 - 1) right.
+        t_sl = slice(1, None) if self.time_mode == "offline" else slice(1, -1)
         if nchw:
             y2 = jax.lax.conv_transpose(
                 x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), "VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
             )
-            y2 = y2[:, :, 2:-1, 1:]
+            y2 = y2[:, :, 2:-1, t_sl]
             y2 = y2 + b2.astype(y2.dtype)[:, None, None]
         else:
             y2 = jax.lax.conv_transpose(
                 x2, kernel, (2, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            y2 = y2[:, 2:-1, 1:, :]
+            y2 = y2[:, 2:-1, t_sl, :]
             y2 = y2 + b2.astype(y2.dtype)
         y2 = checkpoint_name(y2, "conv_out")
         if self.last:

@@ -77,7 +77,9 @@ class LSTMLayer(nn.Module):
             h0 = jnp.zeros((batch, h_dim), x.dtype)
             c0 = jnp.zeros((batch, h_dim), x.dtype)
         else:
-            h0, c0 = init_state
+            # match the scan carry dtype (a caller-held f32 state must not
+            # change the carry dtype mid-scan under a bf16 compute dtype)
+            h0, c0 = (s.astype(x.dtype) for s in init_state)
 
         def step(carry, xp):
             h, c = carry
@@ -239,9 +241,14 @@ class ComplexLSTM(nn.Module):
     projection_dim: Optional[int] = None
     unroll: int = 8
     dtype: Any = None
+    # stream mode (serve/streaming.py): accept/return the two stacked-batch
+    # LSTM states so a chunked stream continues the exact recurrence. The
+    # state is ((h_r, c_r), (h_i, c_i)) with each array [2B, H] (the
+    # stacked [xr; xi] batch trick below).
+    return_state: bool = False
 
     @nn.compact
-    def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray):
+    def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray, init_state=None):
         lstm_r = LSTMLayer(self.hidden_size, unroll=self.unroll, dtype=self.dtype,
                            name="real_lstm")
         lstm_i = LSTMLayer(self.hidden_size, unroll=self.unroll, dtype=self.dtype,
@@ -252,8 +259,9 @@ class ComplexLSTM(nn.Module):
         # doubled per-step matmuls (better MXU utilization, same math).
         batch = xr.shape[0]
         stacked = jnp.concatenate([xr, xi], axis=0)
-        r_both, _ = lstm_r(stacked)  # [Lr(xr); Lr(xi)]
-        i_both, _ = lstm_i(stacked)  # [Li(xr); Li(xi)]
+        state_r, state_i = init_state if init_state is not None else (None, None)
+        r_both, state_r = lstm_r(stacked, state_r)  # [Lr(xr); Lr(xi)]
+        i_both, state_i = lstm_i(stacked, state_i)  # [Li(xr); Li(xi)]
         rr, ri = r_both[:batch], r_both[batch:]
         ir, ii = i_both[:batch], i_both[batch:]
         out_r = rr - ii
@@ -272,4 +280,6 @@ class ComplexLSTM(nn.Module):
             # on both the forward and transpose paths; the materialized
             # tensor is small ([B, T, C*D]).
             out_r, out_i = jax.lax.optimization_barrier((out_r, out_i))
+        if self.return_state:
+            return (out_r, out_i), (state_r, state_i)
         return out_r, out_i
