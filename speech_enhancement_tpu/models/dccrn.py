@@ -210,37 +210,71 @@ class _ComplexDeconvBlock(nn.Module):
     time_mode: str = "offline"
 
     @nn.compact
-    def __call__(self, x2, train: bool):
+    def __call__(self, x2, train: bool, skip2=None):
+        """Complex deconv on x2 joined with an optional encoder skip.
+
+        With ``skip2`` given, the reference's complex_cat skip join
+        (dccrn.py:193-196, 304-314) is computed WITHOUT ever materializing
+        the concatenated tensor: the deconv is linear in its input channels,
+        so the kernel splits along its input-channel axis into the (trunk,
+        skip) column groups and ``deconv(x2, K_x) + deconv(skip2, K_s)``
+        equals the deconv of the concat exactly (up to fp reduction order).
+        The concat temps ([B, D, T, 2C] per decoder layer, ~3 GB total at
+        batch 128 in bf16) were the measured HBM-OOM binding constraint on
+        the batch knee (NOTES_DEV.md round-3 OOM probes); params and
+        checkpoints are identical either way — the kernel shape is keyed on
+        the TOTAL input channels.
+
+        Param-layout contract (matches the reference concat order
+        [xr, skip_r, xi, skip_i]): per-part kernel columns [:Cx] multiply
+        the trunk, [Cx:] the skip.
+        """
         nchw = self.layout == "nchw"
         ch_axis = 1 if nchw else -1
-        in_ch = x2.shape[ch_axis] // 2
+        n_x = x2.shape[ch_axis] // 2
+        n_s = 0 if skip2 is None else skip2.shape[ch_axis] // 2
+        in_ch = n_x + n_s
         kshape = (self.kernel_size, 2, in_ch, self.features)
         init = nn.initializers.lecun_normal()
         wr = self.param("wr", init, kshape)
         wi = self.param("wi", init, kshape)
         br = self.param("br", nn.initializers.zeros, (self.features,))
         bi = self.param("bi", nn.initializers.zeros, (self.features,))
-        kernel = _block_complex_kernel(wr, wi)
         b2 = jnp.concatenate([br, bi])
+        if skip2 is None:
+            kernels = [_block_complex_kernel(wr, wi)]
+            inputs = [x2]
+        else:
+            kernels = [
+                _block_complex_kernel(wr[:, :, :n_x], wi[:, :, :n_x]),
+                _block_complex_kernel(wr[:, :, n_x:], wi[:, :, n_x:]),
+            ]
+            inputs = [x2, skip2]
         if self.dtype is not None:
-            x2 = x2.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
+            inputs = [x.astype(self.dtype) for x in inputs]
+            kernels = [k.astype(self.dtype) for k in kernels]
         # torch: stride (2,1), padding (2,0), output_padding (1,0) in freq;
         # time grows by 1 and is chomped (out[..., 1:], dccrn.py:196).
         # VALID transpose gives (in-1)*2 + 5 freq rows; torch's padding=2 /
         # output_padding=1 crops 2 left and (2 - 1) right.
         t_sl = slice(1, None) if self.time_mode == "offline" else slice(1, -1)
         if nchw:
-            y2 = jax.lax.conv_transpose(
-                x2, jnp.transpose(kernel, (3, 2, 0, 1)), (2, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            y2 = sum(
+                jax.lax.conv_transpose(
+                    x, jnp.transpose(k, (3, 2, 0, 1)), (2, 1), "VALID",
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                )
+                for x, k in zip(inputs, kernels)
             )
             y2 = y2[:, :, 2:-1, t_sl]
             y2 = y2 + b2.astype(y2.dtype)[:, None, None]
         else:
-            y2 = jax.lax.conv_transpose(
-                x2, kernel, (2, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            y2 = sum(
+                jax.lax.conv_transpose(
+                    x, k, (2, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                for x, k in zip(inputs, kernels)
             )
             y2 = y2[:, 2:-1, t_sl, :]
             y2 = y2 + b2.astype(y2.dtype)
@@ -635,21 +669,20 @@ class DCCRN(nn.Module):
             else:
                 x2 = flat.transpose(0, 3, 1, 2)  # -> [B,D,T,2C]
 
-        # decoder with complex-cat skips, mirrored channels. The block
-        # kernel wants input channels ordered [all r, all i], so the skip
-        # join is ONE 4-way concat of the (r, i) halves of both tensors —
-        # not per-part concats on materialized halves.
+        # decoder with complex-cat skips, mirrored channels. The skip join
+        # is computed by the block itself as split-weight deconvs
+        # (deconv(trunk) + deconv(skip), see _ComplexDeconvBlock) — the
+        # reference's concatenated tensor (dccrn.py:193-196) never exists,
+        # which at batch 128 removes ~3 GB of bf16 decoder-input residuals
+        # (the round-3 OOM-probe binding constraint on the batch knee).
         dec_channels = list(self.kernel_num[::-1][1:]) + [2]
         for idx, features in enumerate(dec_channels):
             skip2 = skips[len(skips) - 1 - idx]
-            xr, xi = _split_parts(x2, ch_axis)
-            skip_r, skip_i = _split_parts(skip2, ch_axis)
-            x2 = jnp.concatenate([xr, skip_r, xi, skip_i], axis=ch_axis)
             x2 = dec_block(
                 features // 2, self.kernel_size, last=(idx == len(dec_channels) - 1),
                 dtype=compute_dtype, cbn_fold=self.cbn_fold, layout=self.layout,
                 name=f"dec_{idx}",
-            )(x2, train)
+            )(x2, train, skip2)
 
         # mask head and synthesis in float32 regardless of compute dtype
         x2 = x2.astype(jnp.float32)
