@@ -126,12 +126,25 @@ class ClarityScorer:
     @staticmethod
     def _haspi_hasqi(reference: np.ndarray, processed: np.ndarray, fs: int,
                      listener: dict):
-        """Gated HASPI v2 / HASQI v2 better-ear scores (external package)."""
+        """Better-ear HASPI/HASQI: external ``clarity`` package when
+        installed (the reference's backend, src/solver.py:82-89), else the
+        native from-paper implementation in ha/earmodel.py — the same
+        preferred->native fallback pattern used for PESQ
+        (train/metrics.py)."""
         try:
             from clarity.evaluator.haspi import haspi_v2_be  # type: ignore
             from clarity.evaluator.hasqi import hasqi_v2_be  # type: ignore
         except ImportError:
-            return None, None
+            from speech_enhancement_tpu.ha.earmodel import (
+                haspi_v1_better_ear, hasqi_v2_better_ear)
+            args = (
+                reference[0], reference[-1], processed[0], processed[-1],
+                fs,
+                np.asarray(listener["audiogram_levels_l"], dtype=float),
+                np.asarray(listener["audiogram_levels_r"], dtype=float),
+                np.asarray(listener["audiogram_cfs"], dtype=float),
+            )
+            return haspi_v1_better_ear(*args), hasqi_v2_better_ear(*args)
         kwargs = dict(
             reference_left=reference[0], reference_right=reference[-1],
             processed_left=processed[0], processed_right=processed[-1],

@@ -109,9 +109,12 @@ def test_clarity_ha_scoring_in_inference(clarity_root, tmp_path):
     with open(csv_path) as handle:
         rows = list(csv.DictReader(handle))
     assert rows, "inference wrote no CSV rows"
-    # no clarity package in this image -> metric columns record "gated"
-    assert rows[0]["haspi_enhance"] == "gated"
-    assert rows[0]["hasqi_mixture"] == "gated"
+    # no clarity package in this image -> the native from-paper HASPI/HASQI
+    # (ha/earmodel.py) fills the columns with finite floats
+    for col in ("haspi_enhance", "hasqi_enhance",
+                "haspi_mixture", "hasqi_mixture"):
+        value = float(rows[0][col])
+        assert np.isfinite(value) and 0.0 <= value <= 1.0
 
 
 def test_clarity_scorer_amplifies_per_listener(tmp_path, rng):
@@ -132,5 +135,8 @@ def test_clarity_scorer_amplifies_per_listener(tmp_path, rng):
     assert not np.allclose(out1, out2)  # audiogram-dependent gains
 
     scores = scorer.score(wav, wav, wav, "S00001_mix_CH1")
-    assert scores["haspi_enhance"] is None  # gated: no clarity package
+    # native fallback: finite scores in [0, 1] even without the clarity pkg
+    assert scores["haspi_enhance"] is not None
+    assert 0.0 <= scores["haspi_enhance"] <= 1.0
+    assert 0.0 <= scores["hasqi_enhance"] <= 1.0
     assert scores["amplified"] is not None
