@@ -19,7 +19,11 @@ from speech_enhancement_tpu.main import main
 
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "configs")
-CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+# ha_clarity.yaml is the hearing-aid PROCESSING config referenced by the
+# main configs' `ha:` key (reference src/ha/conf/config.yaml), not a model
+# launch config
+CONFIGS = sorted(p for p in glob.glob(os.path.join(CONFIG_DIR, "*.yaml"))
+                 if os.path.basename(p) != "ha_clarity.yaml")
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +56,13 @@ def test_config_trains_one_step(path, vbd_root, clarity_root, tmp_path):
     # redirect data at fixtures; shrink step counts — model section untouched
     is_clarity = str(cfg.dset.name).lower() == "clarity"
     cfg.dset.wav = clarity_root if is_clarity else vbd_root
+    if str(cfg.get("ha", "") or ""):
+        # repoint the shipped HA yaml's listener metadata at a fixture tree
+        from speech_enhancement_tpu.data.synthetic import make_ha_config
+        cfg.ha = make_ha_config(
+            str(tmp_path / "ha"), scenes=[f"S{i:05d}" for i in range(1, 5)],
+            n_listeners=2, fs=int(cfg.dset.sample_rate),
+        )
     cfg.dset.split = [0.5, 0.25, 0.25]
     cfg.dset.segment = 1
     cfg.model.segment = 1
