@@ -114,11 +114,17 @@ class Solver:
         self.run_dir = run_dir or os.path.join(root, "result", str(config.model.name), stamp)
         self.checkpoint_dir = os.path.join(self.run_dir, "checkpoints")
         self.log_dir = os.path.join(self.run_dir, "logs")
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
-        os.makedirs(self.log_dir, exist_ok=True)
-        save_yaml(config, os.path.join(self.run_dir, "config.yaml"))
+        # multi-host write discipline: process 0 owns every artifact
+        # (checkpoints, TB logs, config.yaml, results.csv); other hosts
+        # compute the same replicated state and write nothing, resuming
+        # from the shared filesystem path like every host does
+        self.is_primary = jax.process_index() == 0
+        if self.is_primary:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            os.makedirs(self.log_dir, exist_ok=True)
+            save_yaml(config, os.path.join(self.run_dir, "config.yaml"))
 
-        self.writer = self._make_writer()
+        self.writer = self._make_writer() if self.is_primary else None
         self.scores: Dict[str, Any] = {"train_loss": [], "val_loss": [], "best_score": None}
         self.start_epoch = 0
         self.early_stop_count = 0
@@ -499,7 +505,8 @@ class Solver:
                     self.early_stop_count = 0
                 else:
                     self.early_stop_count += 1
-            if (epoch + 1) % save_interval == 0 or is_best:
+            if self.is_primary and ((epoch + 1) % save_interval == 0
+                                    or is_best):
                 ckpt.save_checkpoint(
                     self.checkpoint_dir,
                     {k: self.state[k]
@@ -520,7 +527,9 @@ class Solver:
             if self.early_stop_count > patience:
                 print(f"early stopping at epoch {epoch} (patience {patience})")
                 break
-        save_json(self.scores, os.path.join(self.checkpoint_dir, "state.json"))
+        if self.is_primary:
+            save_json(self.scores,
+                      os.path.join(self.checkpoint_dir, "state.json"))
         return self.scores
 
     def _is_best(self, metric_name: str, score: float) -> bool:
@@ -548,10 +557,13 @@ class Solver:
         if self.state["batch_stats"]:
             variables["batch_stats"] = self.state["batch_stats"]
 
+        # process-0-only artifact, like checkpoints: on non-primary hosts
+        # inference computes (replicated) but writes nothing
         results = metrics_lib.SpeechMetricResultsFile(
             results_csv or os.path.join(self.run_dir, "results.csv")
-        )
-        results.clear()
+        ) if self.is_primary else None
+        if results is not None:
+            results.clear()
         agg = {"enhanced": {"sisdr": [], "stoi": [], "pesq": []},
                "mixture": {"sisdr": [], "stoi": [], "pesq": []}}
         # the reference scores every test utterance with {stoi, pesq, sisdr}
@@ -576,7 +588,7 @@ class Solver:
                 ha_scores = self.compute_metric_clarity(
                     mixture_np[0], enhanced_np[0], clean[0], name
                 )
-            if save:
+            if save and self.is_primary:
                 from speech_enhancement_tpu.data.wav_io import write_wav
 
                 out_dir = os.path.join(self.run_dir, "enhanced")
@@ -605,6 +617,8 @@ class Solver:
                 value = ha_scores.get(col)
                 return "gated" if value is None else value
 
+            if results is None:
+                return
             results.add_result(
                 name,
                 sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
@@ -655,7 +669,8 @@ class Solver:
             for side, vals in summary.items():
                 for k, v in vals.items():
                     self.writer.add_scalar(f"test/{side}_{k}", v, 0)
-        save_json(summary, os.path.join(self.run_dir, "test_summary.json"))
+        if self.is_primary:
+            save_json(summary, os.path.join(self.run_dir, "test_summary.json"))
         return summary
 
     def compute_metric_clarity(self, mixture: np.ndarray, enhanced: np.ndarray,
