@@ -102,15 +102,26 @@ def main():
             loss,
         )
 
-    mixtures = jnp.stack([mixture] * STEPS_PER_CALL)
-    targets = jnp.stack([target] * STEPS_PER_CALL)
+    # int16 wire inputs, the production loader path (dset.wire: int16,
+    # Solver._decode_wire): resident scan inputs quarter, decode is one
+    # fused multiply inside the step
+    def enc(x):
+        scale = jnp.max(jnp.abs(x)) / 32767.0 + 1e-12
+        return {"q": jnp.round(x / scale).astype(jnp.int16),
+                "scale": jnp.full((x.shape[0],), scale, jnp.float32)}
+
+    def dec(x):
+        return x["q"].astype(jnp.float32) * x["scale"]
+
+    mixtures = enc(jnp.stack([mixture] * STEPS_PER_CALL))
+    targets = enc(jnp.stack([target] * STEPS_PER_CALL))
 
     @jax.jit
     def train_scan(state, rng, mixtures, targets):
         def body(carry, batch):
             st, rng_key = carry
             rng_key, sub = jax.random.split(rng_key)
-            st, loss = step_fn(st, sub, batch[0], batch[1])
+            st, loss = step_fn(st, sub, dec(batch[0]), dec(batch[1]))
             return (st, rng_key), loss
 
         (state, _), losses = jax.lax.scan(body, (state, rng), (mixtures, targets))

@@ -41,7 +41,8 @@ V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_GBPS = 819.0
 
 
-def build(batch: int, steps_per_call: int, model_kwargs=None):
+def build(batch: int, steps_per_call: int, model_kwargs=None,
+          wire: str = "f32"):
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
@@ -80,13 +81,28 @@ def build(batch: int, steps_per_call: int, model_kwargs=None):
 
     mixtures = jnp.stack([mixture] * steps_per_call)
     targets = jnp.stack([target] * steps_per_call)
+    if wire == "int16":
+        # the production loader path (dset.wire: int16, data/loader.py
+        # encode_wire_int16 -> Solver._decode_wire): resident scan inputs
+        # quarter, decode is one fused multiply inside the step
+        def enc(x):
+            scale = jnp.max(jnp.abs(x)) / 32767.0 + 1e-12
+            return {"q": jnp.round(x / scale).astype(jnp.int16),
+                    # per-scan-step leading dim so lax.scan can slice it
+                    "scale": jnp.full((x.shape[0],), scale, jnp.float32)}
+        mixtures, targets = enc(mixtures), enc(targets)
+
+    def dec(x):
+        if isinstance(x, dict):
+            return x["q"].astype(jnp.float32) * x["scale"]
+        return x
 
     @jax.jit
     def train_scan(state, rng, mixtures, targets):
         def body(carry, batch):
             st, rng_key = carry
             rng_key, sub = jax.random.split(rng_key)
-            st, loss = step_fn(st, sub, batch[0], batch[1])
+            st, loss = step_fn(st, sub, dec(batch[0]), dec(batch[1]))
             return (st, rng_key), loss
 
         (state, _), losses = jax.lax.scan(body, (state, rng), (mixtures, targets))
@@ -96,9 +112,9 @@ def build(batch: int, steps_per_call: int, model_kwargs=None):
 
 
 def bench_point(batch: int, steps_per_call: int, warmup=2, timed=6,
-                model_kwargs=None):
+                model_kwargs=None, wire="f32"):
     train_scan, state, mixtures, targets = build(batch, steps_per_call,
-                                                 model_kwargs)
+                                                 model_kwargs, wire=wire)
     cost = {}
     try:
         compiled = train_scan.lower(
@@ -154,12 +170,16 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--model-kwargs", default="",
                     help='extra DCCRN kwargs as JSON, e.g. {"use_fused_block": true}')
+    ap.add_argument("--wire", default="f32", choices=["f32", "int16"],
+                    help="scan-input wire format (int16 = the production "
+                         "dset.wire path; quarters resident input bytes)")
     args = ap.parse_args()
     extra = json.loads(args.model_kwargs) if args.model_kwargs else None
 
     results = []
     for batch in [int(b) for b in args.batches.split(",")]:
-        point = bench_point(batch, args.steps, model_kwargs=extra)
+        point = bench_point(batch, args.steps, model_kwargs=extra,
+                            wire=args.wire)
         results.append(point)
         print(json.dumps(point), flush=True)
     best = max(results, key=lambda p: p["utt_per_sec"])
