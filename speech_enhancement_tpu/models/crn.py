@@ -27,12 +27,17 @@ _ENC_CHANNELS = (16, 32, 64, 128, 256)
 class _CausalConvBlock(nn.Module):
     features: int
     dtype: object = None  # compute dtype (bf16 fast path); params stay f32
+    # "offline": zero-pad left 1 in time (the causal pad). "stream": the
+    # caller prepends the cached previous frame instead (serve/streaming.py
+    # CRNStreamer), so no internal pad — outputs align with offline frames.
+    time_mode: str = "offline"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         # x: [B, F, T, C]; freq VALID k3 s2, time causal k2 s1 (pad left 1)
+        t_pad = (1, 0) if self.time_mode == "offline" else (0, 0)
         x = nn.Conv(
-            self.features, (3, 2), strides=(2, 1), padding=((0, 0), (1, 0)),
+            self.features, (3, 2), strides=(2, 1), padding=((0, 0), t_pad),
             dtype=self.dtype, name="conv"
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
@@ -44,6 +49,12 @@ class _CausalTransConvBlock(nn.Module):
     is_last: bool = False
     extra_freq_pad: int = 0
     dtype: object = None
+    # "offline": VALID transpose then chomp the LAST time step (out[t]
+    # depends on in[t-1..t], out[0] sees only in[0] — a zero history).
+    # "stream": the caller prepends the cached previous input frame; the
+    # T+2 VALID outputs are sliced [1:-1] so chunk outputs equal the
+    # offline frames exactly (serve/streaming.py CRNStreamer).
+    time_mode: str = "offline"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -51,7 +62,8 @@ class _CausalTransConvBlock(nn.Module):
             self.features, (3, 2), strides=(2, 1), padding="VALID",
             use_bias=False, dtype=self.dtype, name="conv"
         )(x)
-        x = x[:, :, :-1, :]  # chomp the extra time step (causal)
+        t_sl = slice(None, -1) if self.time_mode == "offline" else slice(1, -1)
+        x = x[:, :, t_sl, :]  # causal chomp / stream alignment
         if self.extra_freq_pad:
             # torch output_padding=(1, 0): the appended high-freq row gets
             # no kernel contributions, only the bias — so the bias is added

@@ -7,6 +7,6 @@ a stateful stream that consumes fixed-size audio chunks and emits enhanced
 audio with a fixed algorithmic latency, bit-matching the offline forward.
 """
 
-from speech_enhancement_tpu.serve.streaming import DCCRNStreamer
+from speech_enhancement_tpu.serve.streaming import CRNStreamer, DCCRNStreamer
 
-__all__ = ["DCCRNStreamer"]
+__all__ = ["CRNStreamer", "DCCRNStreamer"]

@@ -319,3 +319,271 @@ class DCCRNStreamer:
             outs.append(out)
         full = jnp.concatenate(outs, axis=-1)
         return full[:, self.latency:self.latency + length]
+
+
+class CRNStreamer:
+    """Stateful chunked inference over a trained CRN (second streamable
+    family, VERDICT r3 task 8).
+
+    CRN is FULLY causal — conv encoder (time kernel 2, causal pad), two
+    unidirectional LSTMs, transpose-conv decoder whose time chomp drops the
+    trailing step (no lookahead, unlike DCCRN) — so the stream carries only:
+
+    * ``wav_tail``   — the last ``n_fft - hop`` input samples (STFT framing
+                       history);
+    * ``enc_cache``  — one input frame per encoder conv (the causal pad);
+    * ``lstm``       — the two LSTM (h, c) carries;
+    * ``dec_cache``  — one input frame per decoder transpose conv;
+    * ``ola_tail``   — the incomplete ``n_fft - hop`` samples of the
+                       inverse overlap-add.
+
+    The offline path uses center=True REFLECT-padded STFT
+    (ops/stft.py:stft_custom), so exactness needs the stream head primed
+    from the first chunk's actual samples: ``step()`` dispatches the FIRST
+    chunk to a dedicated compiled step whose framing starts at offline
+    frame 0 with the reflected head — after that every computed frame,
+    LSTM state and emitted sample equals the offline forward bit-for-bit
+    (up to fp tolerance), with NO warmup region: the first step simply
+    emits ``win - hop`` fewer samples (the algorithmic latency, 24 ms at
+    16 kHz for the shipped 512/128 config). Divergence is confined to the
+    final ``win`` samples of a finished utterance, where offline sees the
+    right reflect pad a stream never has (same contract as DCCRNStreamer).
+    """
+
+    def __init__(self, model, variables: Dict[str, Any],
+                 chunk_frames: int = 16, n_fft: int = 512, hop: int = 128):
+        from speech_enhancement_tpu.models.crn import (_CausalConvBlock,
+                                                       _CausalTransConvBlock,
+                                                       _ENC_CHANNELS)
+        from speech_enhancement_tpu.ops.stft import _rfft_basis, hann_window
+
+        if not model.use_lstm:
+            raise ValueError("CRNStreamer requires use_lstm=True")
+        if n_fft % hop != 0:
+            raise ValueError("n_fft must be a multiple of hop (periodic "
+                             "OLA envelope)")
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self._conv_block = _CausalConvBlock
+        self._tconv_block = _CausalTransConvBlock
+        self._enc_channels = _ENC_CHANNELS
+
+        # model-boundary STFT geometry (configs/crn_vbd.yaml; the model
+        # itself is geometry-agnostic — evaluate.py applies stft_custom)
+        self.n_fft = int(n_fft)
+        self.hop = int(hop)
+        self.win = int(n_fft)
+        self.K = int(chunk_frames)
+        self.pad = self.n_fft // 2                # center-pad (reflect head)
+        self.tail = self.n_fft - self.hop         # framing history
+        #: samples consumed per steady step; the FIRST step emits
+        #: ``chunk_samples - latency`` samples, all later steps the full
+        #: ``chunk_samples`` — outputs align to input sample 0 directly.
+        self.chunk_samples = self.K * self.hop
+        #: algorithmic latency in samples (= win - hop)
+        self.latency = self.win - self.hop
+        if self.chunk_samples <= self.latency + self.hop:
+            raise ValueError("chunk_frames too small for the 512/128 STFT")
+
+        window = np.asarray(hann_window(self.win, self.n_fft))
+        br, bi = _rfft_basis(self.n_fft)
+        # forward basis includes the model-boundary 1/win scale
+        # (stft_custom); the inverse multiplies it back (istft_custom)
+        fwd = np.concatenate([br, bi], axis=1) * window[:, None] / self.win
+        n_freq = self.n_fft // 2 + 1
+        scale = np.ones(n_freq, np.float32)
+        scale[1:-1] = 2.0  # irfft: conjugate-symmetric bins count twice
+        # irfft: x[n] = (1/N) sum_k scale_k (Re X_k cos - Im X_k sin);
+        # _rfft_basis's bi is already -sin (the rfft imag convention), so
+        # the imag inverse coefficient is +bi
+        inv_r = (br * scale[None, :]).T * window[None, :] / self.n_fft
+        inv_i = (bi * scale[None, :]).T * window[None, :] / self.n_fft
+        inv = np.concatenate([inv_r, inv_i], axis=0) * self.win
+        self._fwd = jnp.asarray(fwd.astype(np.float32))   # [win, 2F]
+        self._inv = jnp.asarray(inv.astype(np.float32))   # [2F, win]
+
+        # steady-state periodic OLA envelope, one chunk long
+        env = np.tile(_periodic_envelope(window, self.hop), self.K)
+        self._env = jnp.asarray(env)
+        # FIRST-step envelope: the true (edge-deficient) window-square OLA
+        # for emitted coords [0, chunk - latency)
+        n_first = self.K - 1  # frames computed by the first step
+        first_len = (n_first - 1) * self.hop + self.win
+        full = np.zeros(first_len, np.float32)
+        for t in range(n_first):
+            full[t * self.hop: t * self.hop + self.win] += window * window
+        emitted = self.chunk_samples - self.latency
+        self._env_first = jnp.asarray(full[self.pad: self.pad + emitted])
+
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step_first = jax.jit(self._first_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self, batch: int) -> Dict[str, Any]:
+        """Zero stream state for ``batch`` parallel streams. The dict's
+        ``"fresh"`` key is a HOST-side flag consumed by ``step()`` to
+        dispatch the first chunk to the priming step."""
+        n_freq = self.n_fft // 2 + 1
+        enc_cache = []
+        f = n_freq
+        c = 1
+        for feats in self._enc_channels:
+            enc_cache.append(jnp.zeros((batch, f, 1, c)))
+            f = (f - 3) // 2 + 1
+            c = feats
+        dec_cache = []
+        dec_channels = (128, 64, 32, 16, 1)
+        cx = self._enc_channels[-1]
+        for i, feats in enumerate(dec_channels):
+            cs = self._enc_channels[len(self._enc_channels) - 1 - i]
+            dec_cache.append(jnp.zeros((batch, f, 1, cx + cs)))
+            f = (f - 1) * 2 + 3 + (1 if i == 3 else 0)
+            cx = feats
+        lstm = []
+        for name in ("lstm1", "lstm2"):
+            h = self.params[name]["w_hh"].shape[0]
+            lstm.append((jnp.zeros((batch, h)), jnp.zeros((batch, h))))
+        return {
+            "wav_tail": jnp.zeros((batch, self.tail)),
+            "enc_cache": enc_cache,
+            "lstm": lstm,
+            "dec_cache": dec_cache,
+            "ola_tail": jnp.zeros((batch, self.tail)),
+            "fresh": True,
+        }
+
+    def step(self, state: Dict[str, Any], chunk: jnp.ndarray):
+        """Consume ``chunk`` [B, chunk_samples]; emit enhanced samples
+        aligned to input sample 0 (the first call emits ``latency`` fewer
+        samples)."""
+        fresh = state.pop("fresh", False)
+        if fresh:
+            new_state, out = self._step_first(state, chunk)
+        else:
+            new_state, out = self._step(state, chunk)
+        new_state["fresh"] = False
+        return new_state, out
+
+    # ------------------------------------------------------------------
+    def _frames_to_net(self, x):
+        """[B, T_samples] -> masked-model spectra + net input."""
+        frames = frame_signal(x, self.win, self.hop)           # [B, T', win]
+        spec = jnp.matmul(frames, self._fwd,
+                          preferred_element_type=jnp.float32)  # [B, T', 2F]
+        return spec
+
+    def _net(self, state, spec, n_frames):
+        """Run the CRN body over ``n_frames`` spectrum frames with carried
+        state; returns (new_caches, masked spectra [B, T', 2F])."""
+        from speech_enhancement_tpu.ops.rnn import LSTMLayer
+
+        m = self.model
+        compute_dtype = jnp.dtype(m.dtype)
+        n_freq = self.n_fft // 2 + 1
+        real = jnp.swapaxes(spec[..., :n_freq], 1, 2)   # [B, F, T']
+        imag = jnp.swapaxes(spec[..., n_freq:], 1, 2)
+        amplitude = jnp.sqrt(real ** 2 + imag ** 2 + 1e-8)
+        h = amplitude[..., None]                        # [B, F, T', 1]
+
+        new_enc = []
+        skips = []
+        for i, feats in enumerate(self._enc_channels):
+            xin = jnp.concatenate([state["enc_cache"][i], h], axis=2)
+            new_enc.append(xin[:, :, -1:, :])
+            blk = self._conv_block(feats, dtype=compute_dtype,
+                                   time_mode="stream")
+            h = blk.apply(
+                {"params": self.params[f"enc_{i + 1}"],
+                 "batch_stats": self.batch_stats.get(f"enc_{i + 1}", {})},
+                xin, False)
+            skips.append(h)
+
+        batch, nf, nt, nc = h.shape
+        flat = h.transpose(0, 2, 3, 1).reshape(batch, nt, nc * nf)
+        new_lstm = []
+        for j, name in enumerate(("lstm1", "lstm2")):
+            mod = LSTMLayer(nc * nf, dtype=compute_dtype,
+                            unroll=m.lstm_unroll)
+            flat, st = mod.apply({"params": self.params[name]}, flat,
+                                 init_state=state["lstm"][j])
+            new_lstm.append(st)
+        mid = flat.reshape(batch, nt, nc, nf).transpose(0, 3, 1, 2)
+
+        d = mid
+        new_dec = []
+        dec_channels = (128, 64, 32, 16, 1)
+        for i, feats in enumerate(dec_channels):
+            skip = skips[len(skips) - 1 - i]
+            d = jnp.concatenate([d, skip], axis=-1)
+            xin = jnp.concatenate([state["dec_cache"][i], d], axis=2)
+            new_dec.append(xin[:, :, -1:, :])
+            blk = self._tconv_block(
+                feats, is_last=(i == len(dec_channels) - 1),
+                extra_freq_pad=1 if i == 3 else 0, dtype=compute_dtype,
+                time_mode="stream")
+            d = blk.apply(
+                {"params": self.params[f"dec_{i + 1}"],
+                 "batch_stats": self.batch_stats.get(f"dec_{i + 1}", {})},
+                xin, False)
+
+        mask = d[..., 0].astype(jnp.float32)            # [B, F, T']
+        out_real = jnp.swapaxes(mask * real, 1, 2)      # [B, T', F]
+        out_imag = jnp.swapaxes(mask * imag, 1, 2)
+        masked = jnp.concatenate([out_real, out_imag], axis=-1)
+        caches = {"enc_cache": new_enc, "lstm": new_lstm,
+                  "dec_cache": new_dec}
+        return caches, masked
+
+    def _synth(self, state, masked, n_frames, emit):
+        """OLA synthesis with carried tail; emit ``emit`` final samples."""
+        syn = jnp.matmul(masked, self._inv,
+                         preferred_element_type=jnp.float32)  # [B, T', win]
+        ola = overlap_add(syn, self.hop)     # [B, (T'-1)*hop + win]
+        ola = ola.at[:, :self.tail].add(state["ola_tail"])
+        tail = ola[:, emit:]
+        return ola[:, :emit], tail
+
+    def _first_impl(self, state, chunk):
+        # reflect the head like offline center=True (stft_custom)
+        head = chunk[:, 1:self.pad + 1][:, ::-1]
+        x = jnp.concatenate([head, chunk], axis=-1)
+        new_state = {"wav_tail": x[:, -self.tail:]}
+        spec = self._frames_to_net(x)
+        n_frames = self.K - 1
+        caches, masked = self._net(state, spec, n_frames)
+        new_state.update(caches)
+        emit_raw = self.chunk_samples - self.latency + self.pad
+        out, tail = self._synth(state, masked, n_frames, emit_raw)
+        new_state["ola_tail"] = tail[:, :self.tail]
+        out = out[:, self.pad:] / (self._env_first + 1e-8)
+        return new_state, jnp.clip(out, -1.0, 1.0)
+
+    def _step_impl(self, state, chunk):
+        x = jnp.concatenate([state["wav_tail"], chunk], axis=-1)
+        new_state = {"wav_tail": x[:, -self.tail:]}
+        spec = self._frames_to_net(x)
+        caches, masked = self._net(state, spec, self.K)
+        new_state.update(caches)
+        out, tail = self._synth(state, masked, self.K, self.chunk_samples)
+        new_state["ola_tail"] = tail[:, :self.tail]
+        out = out / (self._env + 1e-8)
+        return new_state, jnp.clip(out, -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def enhance(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """Stream a whole [B, T] utterance chunk by chunk; returns [B, T]
+        aligned to the offline forward (final ``win`` samples excepted —
+        the right reflect pad a stream never has)."""
+        batch, length = wav.shape
+        cs = self.chunk_samples
+        total = length + self.latency + cs
+        n_chunks = -(-total // cs)
+        padded = jnp.pad(wav, ((0, 0), (0, n_chunks * cs - length)))
+        state = self.init_state(batch)
+        outs = []
+        for c in range(n_chunks):
+            state, out = self.step(state, padded[:, c * cs:(c + 1) * cs])
+            outs.append(out)
+        full = jnp.concatenate(outs, axis=-1)
+        return full[:, :length]

@@ -104,3 +104,84 @@ def test_stream_bf16_tracks_f32():
     got = np.asarray(DCCRNStreamer(bf16, variables, chunk_frames=8).enhance(wav))
     scale = max(1e-6, np.abs(offline).max())
     assert np.abs(got - offline).max() / scale < 0.1
+
+
+# ---------------------------------------------------------------------------
+# CRN streaming (second streamable family, fully causal)
+# ---------------------------------------------------------------------------
+
+def _crn_offline(model, variables, wav, cfg):
+    """The exact offline inference path: stft_custom -> CRN -> istft_custom
+    (train/evaluate.py model-boundary convention)."""
+    from speech_enhancement_tpu.ops.stft import istft_custom, stft_custom
+
+    spec = stft_custom(wav[:, None, :], cfg)        # [B, 1, F, T', 2]
+    out = model.apply(variables, spec, train=False)
+    return np.asarray(istft_custom(out, wav.shape[-1], cfg))[:, 0]
+
+
+def _crn_cfg():
+    from speech_enhancement_tpu.config import Config
+
+    return Config({"n_fft": 512, "hop_length": 128, "win_length": 512,
+                   "center": True})
+
+
+def test_crn_stream_matches_offline():
+    from speech_enhancement_tpu.models.crn import CRN
+    from speech_enhancement_tpu.serve import CRNStreamer
+
+    model = CRN()
+    cfg = _crn_cfg()
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32)) * 0.1
+    from speech_enhancement_tpu.ops.stft import stft_custom
+    spec = stft_custom(wav[:, None, :], cfg)
+    variables = model.init(jax.random.PRNGKey(0), spec)
+
+    offline = _crn_offline(model, variables, wav, cfg)
+    streamer = CRNStreamer(model, variables, chunk_frames=8)
+    got = np.asarray(streamer.enhance(wav))
+    # exact everywhere except the final win samples (offline right reflect
+    # pad a stream never has); NO warmup region at the head
+    np.testing.assert_allclose(got[:, :-512], offline[:, :-512],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_crn_stream_chunk_size_invariance():
+    from speech_enhancement_tpu.models.crn import CRN
+    from speech_enhancement_tpu.serve import CRNStreamer
+
+    model = CRN()
+    cfg = _crn_cfg()
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((1, 3000)).astype(np.float32)) * 0.1
+    from speech_enhancement_tpu.ops.stft import stft_custom
+    variables = model.init(jax.random.PRNGKey(1),
+                           stft_custom(wav[:, None, :], cfg))
+    a = np.asarray(CRNStreamer(model, variables, chunk_frames=6).enhance(wav))
+    b = np.asarray(CRNStreamer(model, variables, chunk_frames=12).enhance(wav))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_crn_stream_state_shapes_fixed():
+    from speech_enhancement_tpu.models.crn import CRN
+    from speech_enhancement_tpu.serve import CRNStreamer
+
+    model = CRN()
+    cfg = _crn_cfg()
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32)) * 0.1
+    from speech_enhancement_tpu.ops.stft import stft_custom
+    variables = model.init(jax.random.PRNGKey(2),
+                           stft_custom(wav[:, None, :], cfg))
+    streamer = CRNStreamer(model, variables, chunk_frames=8)
+    state = streamer.init_state(1)
+    shapes0 = jax.tree.map(lambda a: a.shape,
+                           {k: v for k, v in state.items() if k != "fresh"})
+    for c in range(2):
+        state, out = streamer.step(
+            state, wav[:, c * streamer.chunk_samples:(c + 1) * streamer.chunk_samples])
+    shapes1 = jax.tree.map(lambda a: a.shape,
+                           {k: v for k, v in state.items() if k != "fresh"})
+    assert shapes0 == shapes1

@@ -34,6 +34,7 @@ def build_step(remat=False, save=False, fold=False, fused=False,
         from speech_enhancement_tpu.models.sepformer import Sepformer
 
         model = Sepformer(dtype="bfloat16", remat=remat,
+                          fused_attention=fused,
                           encoder_in_nchannels=1, masknet_numspks=1)
     else:
         from speech_enhancement_tpu.models.dccrn import DCCRN
