@@ -201,15 +201,17 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, pos_embs=None, train: bool = False) -> jnp.ndarray:
         ln1 = nn.LayerNorm(name="ln1")
         ln2 = nn.LayerNorm(name="ln2")
+        from jax.ad_checkpoint import checkpoint_name
+
         if self.norm_before:
             h = ln1(x)
-            x = x + self._attend(h, pos_embs)
+            x = x + checkpoint_name(self._attend(h, pos_embs), "attn_out")
             h = ln2(x)
             h = nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(h)
             h = self._act(h)
             h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
             return x + h
-        h = self._attend(x, pos_embs)
+        h = checkpoint_name(self._attend(x, pos_embs), "attn_out")
         x = ln1(x + h)
         h = self._act(nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn1")(x))
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(h)
@@ -231,6 +233,11 @@ class SBTransformerBlock(nn.Module):
     attention_type: str = "regularMHA"
     fused_attention: bool = False
     remat: bool = False
+    # comma-separated checkpoint_name saves under remat (e.g. "attn_out":
+    # keep attention outputs, recompute only norms/FFN elementwise in the
+    # backward — trades ~130 MB/layer of residuals for the Pallas fwd
+    # recompute)
+    remat_policy: str = ""
     dtype: object = None
 
     @nn.compact
@@ -249,7 +256,12 @@ class SBTransformerBlock(nn.Module):
             # the fused-attention kernel); per layer, only one layer's
             # recompute is live while ~[B', L, N] outputs persist between
             # layers. Same recompute FLOPs either way.
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+            kwargs = {}
+            if self.remat_policy:
+                kwargs["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    *self.remat_policy.split(","))
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,),
+                                 **kwargs)
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.nhead, self.d_ffn, self.norm_before,
@@ -339,6 +351,7 @@ class DualComputationBlock(nn.Module):
     attention_type: str = "regularMHA"
     fused_attention: bool = False
     remat: bool = False
+    remat_policy: str = ""
     skip_around_intra: bool = True
     dtype: object = None
 
@@ -357,6 +370,7 @@ class DualComputationBlock(nn.Module):
             layers, self.d_model, nhead, dffn,
             attention_type=self.attention_type,
             fused_attention=self.fused_attention, remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype, name=name,
         )(x, train=train)
 
@@ -423,6 +437,9 @@ class Sepformer(nn.Module):
     # (measured 16.2-48.6 GB) while per-layer liveness is one layer's
     # intermediates + [B', L, N] outputs between layers.
     remat: bool = False
+    # checkpoint_name saves under remat ("attn_out" keeps attention
+    # outputs so the backward recomputes only norms/FFN)
+    remat_policy: str = ""
     # run regularMHA attention cores through the fused Pallas kernel
     # (ops/pallas/attention.py): QK^T -> softmax -> @V stays in VMEM, so
     # the [L, L] probability tensors never touch HBM — the batch-16 train
@@ -468,6 +485,7 @@ class Sepformer(nn.Module):
                 rnn_bidirectional=self.rnn_bidirectional,
                 attention_type=self.attention_type,
                 fused_attention=use_fused_attn, remat=self.remat,
+                remat_policy=self.remat_policy,
                 skip_around_intra=self.masknet_extraskipconnection,
                 dtype=compute_dtype, name=f"dual_{i}",
             )(h, train)

@@ -96,6 +96,18 @@ def bench(config_name: str, batch: int = BATCH):
         (state, _), losses = jax.lax.scan(body, (state, rng), None, length=SCAN)
         return state, losses
 
+    # XLA-counted FLOPs -> MFU column (VERDICT r3 task 9: the per-model
+    # perf story states utilization, not just utt/s)
+    flops_per_step = None
+    try:
+        analysis = scan_steps.lower(state, jax.random.PRNGKey(3)).compile(
+        ).cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops_per_step = float(analysis["flops"]) / SCAN
+    except Exception:
+        pass
+
     rng = jax.random.PRNGKey(3)
     t_compile0 = time.perf_counter()
     state, losses = scan_steps(state, rng)
@@ -109,9 +121,10 @@ def bench(config_name: str, batch: int = BATCH):
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2] / SCAN
+    mfu = f"  mfu={flops_per_step / dt / 197e12:.4f}" if flops_per_step else ""
     print(f"{config_name:24s} batch {batch:2d} {dt*1000:8.1f} ms/step  "
           f"{batch/dt:7.1f} utt/s  loss={float(losses[-1]):.5f}  "
-          f"compile+first {t_compile:.1f}s", flush=True)
+          f"compile+first {t_compile:.1f}s{mfu}", flush=True)
 
 
 if __name__ == "__main__":
