@@ -15,12 +15,15 @@
 //   aggregation, and the logistic MOS-LQO maps.
 // Deviations from the ITU release (documented in PARITY.md): Bark bands are
 // computed analytically (uniform in Bark via the Zwicker/Terhardt formulas)
-// instead of the ITU lookup tables, the threshold-in-quiet uses Terhardt's
-// analytic approximation, and time alignment is a single global
-// envelope-correlation delay rather than the per-utterance split/realign
-// machinery (enhancement eval pairs are inherently aligned). Scores are
-// therefore P.862-class, not certified-conformant; when the conformant
-// `pesq` wheel is installed it takes precedence (train/metrics.py).
+// instead of the ITU lookup tables — the Rec's numeric band tables are not
+// reproducible in this offline image without risking corrupted constants —
+// and the threshold-in-quiet uses Terhardt's analytic approximation. Time
+// alignment is the Rec's two-stage structure: crude whole-file envelope
+// alignment, then per-utterance split + realign with piecewise-constant
+// delays (find_utterances/realign_utterances below); the bad-interval
+// re-split iteration is not implemented. Scores are therefore P.862-class,
+// not certified-conformant; when the conformant `pesq` wheel is installed
+// it takes precedence (train/metrics.py).
 
 #include <algorithm>
 #include <cstdio>
@@ -233,6 +236,118 @@ long envelope_delay(const std::vector<double>& ref,
   return best_lag * sub;  // samples by which deg lags ref
 }
 
+// -------------------------------------------------------------------------
+// Per-utterance split + realign (P.862 §10.2.2-10.2.3 structure): after the
+// crude whole-file alignment, active-speech utterances in the reference are
+// located from the 4 ms energy envelope (gaps < 200 ms merged, runs
+// >= 300 ms kept), each gets its own residual delay — envelope correlation
+// within the utterance, refined to sample accuracy by bounded time-domain
+// cross-correlation — and the degraded signal is rebuilt with that
+// piecewise-constant delay. This handles the Rec's variable-delay model;
+// the remaining deviation is the lack of the bad-interval re-split
+// iteration (documented in the header).
+// -------------------------------------------------------------------------
+struct Utterance { size_t begin, end; };  // sample span in the reference
+
+std::vector<Utterance> find_utterances(const std::vector<double>& ref,
+                                       int fs) {
+  const int sub = fs / 250;  // 4 ms
+  const size_t n = ref.size() / sub;
+  std::vector<char> active(n, 0);
+  // fix_level() normalized active-speech power to kTargetPower; a sub-frame
+  // is speech-active when its mean power clears -30 dB of that nominal
+  const double thr = kTargetPower / 1000.0;
+  for (size_t i = 0; i < n; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < sub; ++j) acc += ref[i * sub + j] * ref[i * sub + j];
+    active[i] = (acc / sub) > thr;
+  }
+  const size_t merge_gap = (size_t)(0.200 * 250);  // 200 ms in sub-frames
+  const size_t min_len = (size_t)(0.300 * 250);    // 300 ms
+  std::vector<Utterance> utts;
+  size_t i = 0;
+  while (i < n) {
+    if (!active[i]) { ++i; continue; }
+    size_t begin = i, end = i + 1, gap = 0;
+    for (size_t j = i + 1; j < n; ++j) {
+      if (active[j]) { end = j + 1; gap = 0; }
+      else if (++gap > merge_gap) break;
+    }
+    if (end - begin >= min_len)
+      utts.push_back({begin * (size_t)sub, end * (size_t)sub});
+    i = end + 1;
+  }
+  return utts;
+}
+
+// residual delay of one utterance: envelope correlation over the utterance
+// span (lags up to +-125 ms) refined by time-domain cross-correlation in a
+// +-1.5 sub-frame window around the envelope estimate
+long utterance_delay(const std::vector<double>& ref,
+                     const std::vector<double>& deg,
+                     const Utterance& u, int fs) {
+  const int sub = fs / 250;
+  const size_t s0 = u.begin / sub, s1 = u.end / sub;
+  const size_t nsub = deg.size() / sub;
+  if (s1 <= s0 + 4 || nsub == 0) return 0;
+  std::vector<double> er, ed(nsub);
+  for (size_t i = s0; i < s1; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < sub; ++j) acc += ref[i * sub + j] * ref[i * sub + j];
+    er.push_back(std::log10(acc + 1e-6));
+  }
+  for (size_t i = 0; i < nsub; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < sub; ++j) acc += deg[i * sub + j] * deg[i * sub + j];
+    ed[i] = std::log10(acc + 1e-6);
+  }
+  const long max_lag = (long)(0.125 * 250);  // 125 ms
+  double best = -1e300;
+  long best_lag = 0;
+  for (long lag = -max_lag; lag <= max_lag; ++lag) {
+    double acc = 0.0;
+    int cnt = 0;
+    for (size_t i = 0; i < er.size(); ++i) {
+      const long j = (long)(s0 + i) + lag;
+      if (j < 0 || j >= (long)nsub) continue;
+      acc += er[i] * ed[j];
+      ++cnt;
+    }
+    if (cnt > (long)er.size() / 2 && acc > best) { best = acc; best_lag = lag; }
+  }
+  // sample-accurate refinement around the envelope estimate
+  const long center = best_lag * sub;
+  const long fine = sub + sub / 2;
+  double best_xc = -1e300;
+  long best_d = center;
+  for (long d = center - fine; d <= center + fine; ++d) {
+    double acc = 0.0;
+    for (size_t t = u.begin; t < u.end; ++t) {
+      const long j = (long)t + d;
+      if (j < 0 || j >= (long)deg.size()) continue;
+      acc += ref[t] * deg[j];
+    }
+    if (acc > best_xc) { best_xc = acc; best_d = d; }
+  }
+  return best_d;
+}
+
+// rebuild deg with each utterance's own delay (piecewise-constant delay)
+void realign_utterances(const std::vector<double>& ref,
+                        const std::vector<double>& deg,
+                        std::vector<double>* out, int fs) {
+  *out = deg;
+  out->resize(ref.size(), 0.0);
+  for (const Utterance& u : find_utterances(ref, fs)) {
+    const long d = utterance_delay(ref, deg, u, fs);
+    if (d == 0) continue;
+    for (size_t t = u.begin; t < u.end && t < out->size(); ++t) {
+      const long j = (long)t + d;
+      (*out)[t] = (j >= 0 && j < (long)deg.size()) ? deg[j] : 0.0;
+    }
+  }
+}
+
 double zwicker_loudness(double p, double thr) {
   if (p <= thr) return 0.0;
   return kSl * std::pow(thr / 0.5, kZwicker) *
@@ -272,13 +387,19 @@ double pesq_mos(const float* ref_in, const float* deg_in, long n, int fs,
     highpass(deg, 300.0, fs);
   }
 
-  // time alignment (global envelope-correlation delay)
+  // crude whole-file alignment (envelope-correlation delay) ...
   const long delay = envelope_delay(ref, deg, fs);
   if (delay > 0) deg.erase(deg.begin(), deg.begin() + delay);
   else if (delay < 0) ref.erase(ref.begin(), ref.begin() - delay);
   const size_t nn = std::min(ref.size(), deg.size());
   ref.resize(nn); deg.resize(nn);
   if ((long)nn < 2 * nfft) return -2.0;
+  // ... then per-utterance split + realign (piecewise-constant delay)
+  {
+    std::vector<double> aligned;
+    realign_utterances(ref, deg, &aligned, fs);
+    deg.swap(aligned);
+  }
 
   const Bands bands = make_bands(fs, nfft, nb);
   std::vector<std::vector<double>> sref, sdeg;

@@ -161,3 +161,28 @@ def test_bss_eval_sources_multichannel_shape():
     out = metrics.bss_eval_sources(refs, refs)
     assert out["sdr"].shape == (2,)
     assert np.all(out["sdr"] > 40)
+
+
+def test_native_pesq_variable_delay_realign(rng):
+    """Per-utterance split + realign (P.862 10.2.2-10.2.3 structure): a
+    degraded signal whose delay CHANGES between utterances must be
+    realigned piecewise — a single global delay can't serve both halves."""
+    from speech_enhancement_tpu.train import pesq_native
+
+    if not pesq_native.available():  # pragma: no cover - no compiler
+        pytest.skip("native pesq unavailable")
+    fs = 16000
+    # two clear utterances separated by 400 ms of silence
+    utt1 = _speechlike(rng, 2 * fs)
+    utt2 = _speechlike(rng, 2 * fs)
+    gap = np.zeros(int(0.4 * fs), np.float32)
+    clean = np.concatenate([utt1, gap, utt2])
+    # degraded: second utterance delayed an extra 40 ms (silence absorbs it)
+    shift = int(0.040 * fs)
+    deg = np.concatenate([utt1, gap[:-shift], np.zeros(shift, np.float32),
+                          utt2])[: clean.size]
+    score = pesq_native.pesq_native(16000, clean, deg)
+    same = pesq_native.pesq_native(16000, clean, clean)
+    # realigned, the pair is near-identical; without the per-utterance
+    # stage the 40 ms mismatch on half the speech collapses the score
+    assert score > same - 0.35, score
