@@ -291,7 +291,7 @@ class _ComplexDeconvBlock(nn.Module):
 class _CBNState(nn.Module):
     """Parameter/stat holder mirroring ComplexBatchNorm's variable tree.
 
-    The fused-block path (ops/pallas/conv_block.py) computes the CBN math
+    The fused-block path (ops/pallas/experimental/conv_block.py) computes the CBN math
     inside its kernels; this module only declares the identical params +
     running stats (same names, shapes, initializers as
     ops/complex_ops.py:ComplexBatchNorm) so checkpoints and the torch
@@ -424,7 +424,7 @@ class DCCRN(nn.Module):
     # lanes). Params are identical either way; see _ComplexConvBlock.
     layout: str = "nhwc"
     # execute the encoder/decoder as fused Pallas block kernels
-    # (ops/pallas/conv_block.py): activations flow as [B, F*C2, T] with time
+    # (ops/pallas/experimental/conv_block.py): activations flow as [B, F*C2, T] with time
     # in lanes, each block is one VMEM pass (pointwise of the previous
     # block's CBN+PReLU + complex conv), the decoder skip join never
     # materializes. Parameter tree is identical to the XLA path
@@ -438,7 +438,7 @@ class DCCRN(nn.Module):
         Returns (mask_real, mask_imag) [B, F+1, T] with the DC bin padded
         back — the same contract as the XLA path below.
         """
-        from speech_enhancement_tpu.ops.pallas import conv_block as cb
+        from speech_enhancement_tpu.ops.pallas.experimental import conv_block as cb
 
         compute_dtype = jnp.dtype(self.dtype)
         batch, _, n_time = real.shape

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech_enhancement_tpu.ops.pallas import conv_block as cb
+from speech_enhancement_tpu.ops.pallas.experimental import conv_block as cb
 
 
 def _coeffs(key, k, c2):

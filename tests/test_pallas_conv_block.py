@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from speech_enhancement_tpu.models.dccrn import _block_complex_kernel
-from speech_enhancement_tpu.ops.pallas import conv_block as cb
+from speech_enhancement_tpu.ops.pallas.experimental import conv_block as cb
 
 
 def _rand_coeffs(key, c2):

@@ -68,7 +68,7 @@ def main():
                     help="emit training-mode CBN stat partials too")
     args = ap.parse_args()
     from speech_enhancement_tpu.models.dccrn import _block_complex_kernel
-    from speech_enhancement_tpu.ops.pallas import conv_block as cb
+    from speech_enhancement_tpu.ops.pallas.experimental import conv_block as cb
 
     dtype = jnp.dtype(args.dtype)
     batch, t = args.batch, T_FRAMES
