@@ -45,9 +45,11 @@ def time_steps(streamer, batch, reps):
     state = streamer.init_state(batch)
     key = jax.random.PRNGKey(0)
     chunk = jax.random.normal(key, (batch, streamer.chunk_samples)) * 0.1
-    # warmup: compile + first dispatch
-    state, out = streamer.step(state, chunk)
-    float(jnp.sum(out))  # true sync through the relay
+    # warmup: compile + first dispatch (two steps: CRNStreamer's priming
+    # first-step and the steady step are separate compiled programs)
+    for _ in range(2):
+        state, out = streamer.step(state, chunk)
+        float(jnp.sum(out))  # true sync through the relay
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -58,14 +60,20 @@ def time_steps(streamer, batch, reps):
     return walls[len(walls) // 2]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--chunk-frames", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=50)
-    ap.add_argument("--batches", type=int, nargs="*",
-                    default=[1, 8, 32, 64, 128, 256])
-    args = ap.parse_args()
+def build_streamer(model_name: str, chunk_frames: int):
+    if model_name == "crn":
+        from speech_enhancement_tpu.config import Config
+        from speech_enhancement_tpu.models.crn import CRN
+        from speech_enhancement_tpu.ops.stft import stft_custom
+        from speech_enhancement_tpu.serve import CRNStreamer
 
+        model = CRN(dtype="bfloat16")
+        cfg = Config({"n_fft": 512, "hop_length": 128, "win_length": 512,
+                      "center": True})
+        wav = jax.random.normal(jax.random.PRNGKey(1), (1, 1, SR)) * 0.1
+        variables = model.init(jax.random.PRNGKey(2),
+                               stft_custom(wav, cfg))
+        return CRNStreamer(model, variables, chunk_frames=chunk_frames)
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.serve import DCCRNStreamer
 
@@ -73,8 +81,19 @@ def main():
     model = DCCRN(dtype="bfloat16")
     wav = jax.random.normal(jax.random.PRNGKey(1), (1, 1, SR)) * 0.1
     variables = model.init(jax.random.PRNGKey(2), wav)
+    return DCCRNStreamer(model, variables, chunk_frames=chunk_frames)
 
-    streamer = DCCRNStreamer(model, variables, chunk_frames=args.chunk_frames)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk-frames", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--batches", type=int, nargs="*",
+                    default=[1, 8, 32, 64, 128, 256])
+    ap.add_argument("--model", default="dccrn", choices=["dccrn", "crn"])
+    args = ap.parse_args()
+
+    streamer = build_streamer(args.model, args.chunk_frames)
     chunk_ms = streamer.chunk_samples / SR * 1000.0
     print(f"chunk = {streamer.chunk_samples} samples ({chunk_ms:.1f} ms), "
           f"algorithmic latency = {streamer.latency} samples "
