@@ -5,6 +5,14 @@ Usage: python main.py --config configs/dnn_vbd.yaml [--mode train|test] [--save]
 """
 
 import argparse
+import faulthandler
+import signal
+
+# Failure detection (SURVEY.md §5): `kill -USR1 <pid>` dumps every thread's
+# Python stack to stderr without interrupting the run — the one tool that
+# diagnoses a wedged remote-TPU dispatch (0% CPU, no log progress).
+if hasattr(signal, "SIGUSR1"):
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 def cli():

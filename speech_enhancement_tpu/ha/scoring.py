@@ -19,6 +19,7 @@ import os
 import re
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import yaml
@@ -107,21 +108,33 @@ class ClarityScorer:
             return [self.listeners[i] for i in ids if i in self.listeners]
         return list(self.listeners.values())
 
+    @staticmethod
+    def _host_cpu():
+        """HA metric prep runs on the HOST CPU backend: it feeds the numpy
+        HASPI/HASQI ear model and is called from scoring worker threads —
+        keeping it off the accelerator leaves the device queue to the
+        inference loop, and on a remote-TPU transport the compressor's
+        log-depth ``associative_scan`` compile measured minutes through the
+        remote compile service vs seconds locally (NOTES_DEV.md round 4)."""
+        return jax.local_devices(backend="cpu")[0]
+
     def amplify_for_listener(self, signal: np.ndarray, listener: dict) -> np.ndarray:
         """[C, T] at the HA rate -> [2, T'] through NAL-R + compressor."""
-        sig = jnp.asarray(signal)
-        if sig.shape[0] == 1:
-            sig = jnp.broadcast_to(sig, (2, sig.shape[-1]))
-        out = amplify(sig[None, None, :2], self.enhancer, self.compressor,
-                      listener, soft_clip=self.soft_clip)
-        return np.asarray(out[0, 0])
+        with jax.default_device(self._host_cpu()):
+            sig = jnp.asarray(signal)
+            if sig.shape[0] == 1:
+                sig = jnp.broadcast_to(sig, (2, sig.shape[-1]))
+            out = amplify(sig[None, None, :2], self.enhancer, self.compressor,
+                          listener, soft_clip=self.soft_clip)
+            return np.asarray(out[0, 0])
 
     def _resample(self, signal: np.ndarray) -> np.ndarray:
         if self.input_sr == self.fs:
             return np.asarray(signal)
-        return np.asarray(
-            resample_frac(jnp.asarray(signal), self.input_sr, self.fs)
-        )
+        with jax.default_device(self._host_cpu()):
+            return np.asarray(
+                resample_frac(jnp.asarray(signal), self.input_sr, self.fs)
+            )
 
     @staticmethod
     def _haspi_hasqi(reference: np.ndarray, processed: np.ndarray, fs: int,

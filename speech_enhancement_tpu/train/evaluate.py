@@ -15,20 +15,35 @@ Reproduces the reference eval DSP (src/evaluate.py:10-98) under jit:
 
 Static shapes: window count is rounded up to a bucket multiple so XLA
 compiles one program per bucket instead of one per utterance length.
+
+The ENTIRE pipeline (normalize -> window -> model -> stitch -> denormalize)
+is one jitted executable per bucket: the utterance is zero-padded host-side
+to the bucket's static length and the true length enters as a traced scalar
+(masked statistics reproduce the unpadded normalization exactly). One
+program per utterance instead of ~50 eager dispatches — on a remote-TPU
+transport the eager chain's async dispatch backlog measured MINUTES per
+utterance (NOTES_DEV.md round 4 "--mode test wedge"); it is also the right
+shape for local chips (one host->device upload, one executable launch, one
+fetch).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from speech_enhancement_tpu.models.types import SignalSpec
 from speech_enhancement_tpu.ops.stft import istft_custom, stft_custom
 
 _BUCKET = 4  # window-count granularity for compilation caching
+
+# (id(apply_fn), id(config), spec, norm, window, stride, num_sources) ->
+# (jitted fn, apply_fn ref, config ref). The refs pin the ids for the cache
+# lifetime so they cannot be recycled by the allocator.
+_EVAL_CACHE: dict = {}
 
 
 def _num_windows(length: int, window: int, stride: int) -> int:
@@ -64,74 +79,115 @@ def stitch_overlap_discard(windows: jnp.ndarray, stride: int, length: int) -> jn
     return full[..., :length]
 
 
+def _build_eval_fn(apply_fn, spec: SignalSpec, model_cfg, norm: str,
+                   window: int, stride: int, num_sources: Optional[int]):
+    """The whole-utterance pipeline as ONE traceable function.
+
+    ``padded`` is [B, C, total] with ``total = window + (n_pad-1)*stride``
+    (bucket-static) and zeros beyond the true ``length`` (traced scalar).
+    Masked statistics make the normalization identical to computing over
+    the unpadded utterance; windows past the true window count only write
+    stitched samples at positions >= length, which the caller slices away,
+    so no dynamic window-count masking is needed.
+    """
+
+    def fn(variables, padded, length):
+        total = padded.shape[-1]
+        mask = (jnp.arange(total) < length).astype(padded.dtype)  # [total]
+        cnt = length.astype(padded.dtype)
+
+        if norm == "z-score":
+            mean = jnp.sum(padded * mask, axis=-1, keepdims=True) / cnt
+            var = jnp.sum(((padded - mean) * mask) ** 2, axis=-1,
+                          keepdims=True) / (cnt - 1.0)  # ddof=1
+            std = jnp.sqrt(var)
+            x = (padded - mean) / (std + 1e-9) * mask
+        elif norm == "linear-scale":
+            big = jnp.asarray(jnp.finfo(padded.dtype).max, padded.dtype)
+            valid = mask.astype(bool)
+            mx = jnp.max(jnp.where(valid, padded, -big), axis=-1, keepdims=True)
+            mn = jnp.min(jnp.where(valid, padded, big), axis=-1, keepdims=True)
+            x = (padded - mn) / (mx - mn + 1e-9) * mask
+        else:
+            x = padded
+
+        n_windows = (total - window) // stride + 1
+        windows = extract_windows(x, window, stride, n_windows)  # [N, B, C, W]
+        _, nbatch, nchannel, _ = windows.shape
+        batched = windows.reshape(n_windows * nbatch, nchannel, window)
+
+        if spec.domain == "stft":
+            batched = stft_custom(batched, model_cfg)
+
+        if apply_fn is None:
+            output = batched
+        else:
+            output = apply_fn(variables, batched)
+
+        if spec.monarch and output.ndim == batched.ndim + 1 and output.shape[1] == 1:
+            output = output[:, 0]
+
+        if spec.domain == "stft":
+            output = istft_custom(output, window, model_cfg)
+
+        if spec.multi_speaker and apply_fn is not None:
+            n_src = num_sources or output.shape[1]
+            output = output.reshape(n_windows, nbatch, n_src, nchannel, window)
+        else:
+            output = output.reshape(n_windows, nbatch, nchannel, window)
+
+        enhanced = stitch_overlap_discard(output, stride, total)
+
+        if norm == "z-score":
+            denorm_mean, denorm_std = mean, std
+            if spec.multi_speaker and apply_fn is not None:
+                denorm_mean, denorm_std = mean[:, None], std[:, None]
+            enhanced = enhanced * (denorm_std + 1e-9) + denorm_mean
+        elif norm == "linear-scale":
+            denorm_mx, denorm_mn = mx, mn
+            if spec.multi_speaker and apply_fn is not None:
+                denorm_mx, denorm_mn = mx[:, None], mn[:, None]
+            enhanced = enhanced * (denorm_mx - denorm_mn + 1e-9) + denorm_mn
+        return enhanced
+
+    return fn
+
+
 def evaluate_utterance(
-    mixture: jnp.ndarray,
+    mixture,
     apply_fn,
     variables,
     spec: SignalSpec,
     config,
     num_sources: Optional[int] = None,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """Enhance one utterance batch [B, C, T] -> [B, C, T] (or [B, S, C, T]).
 
     ``apply_fn(variables, inputs)`` is the model's eval-mode apply (or None
     for the identity passthrough the reference uses in tests,
-    evaluate.py:65-66).
+    evaluate.py:65-66). Accepts a numpy or device array; returns numpy (the
+    enhanced utterance is fetched — every caller scores/writes it host-side
+    next, and fetching here keeps the device queue one-executable deep).
     """
     model_cfg = config.model
-    norm = config.dset.norm
-    sample_length = mixture.shape[-1]
+    norm = str(config.dset.norm)
     window = int(config.dset.sample_rate * model_cfg.segment)
     stride = int(model_cfg.win_length)
 
-    if norm == "z-score":
-        mean = jnp.mean(mixture, axis=-1, keepdims=True)
-        std = jnp.std(mixture, axis=-1, keepdims=True, ddof=1)
-        x = (mixture - mean) / (std + 1e-9)
-    elif norm == "linear-scale":
-        mx = jnp.max(mixture, axis=-1, keepdims=True)
-        mn = jnp.min(mixture, axis=-1, keepdims=True)
-        x = (mixture - mn) / (mx - mn + 1e-9)
-    else:
-        x = mixture
+    host = np.asarray(mixture)  # [B, C, T]
+    length = host.shape[-1]
+    n_win = _num_windows(length, window, stride)
+    n_pad = -(-n_win // _BUCKET) * _BUCKET
+    total = window + (n_pad - 1) * stride  # bucket-static padded length
+    padded = np.zeros(host.shape[:-1] + (total,), host.dtype)
+    padded[..., :length] = host
 
-    n_win = _num_windows(sample_length, window, stride)
-    n_win_padded = -(-n_win // _BUCKET) * _BUCKET
-    windows = extract_windows(x, window, stride, n_win_padded)  # [N, B, C, W]
-    n_windows, nbatch, nchannel, _ = windows.shape
-    batched = windows.reshape(n_windows * nbatch, nchannel, window)
-
-    if spec.domain == "stft":
-        batched = stft_custom(batched, model_cfg)
-
-    if apply_fn is None:
-        output = batched
-    else:
-        output = apply_fn(variables, batched)
-
-    if spec.monarch and output.ndim == batched.ndim + 1 and output.shape[1] == 1:
-        output = output[:, 0]
-
-    if spec.domain == "stft":
-        output = istft_custom(output, window, model_cfg)
-
-    if spec.multi_speaker and apply_fn is not None:
-        n_src = num_sources or output.shape[1]
-        output = output.reshape(n_windows, nbatch, n_src, nchannel, window)
-    else:
-        output = output.reshape(n_windows, nbatch, nchannel, window)
-
-    output = output[:n_win]
-    enhanced = stitch_overlap_discard(output, stride, sample_length)
-
-    if norm == "z-score":
-        denorm_mean, denorm_std = mean, std
-        if spec.multi_speaker and apply_fn is not None:
-            denorm_mean, denorm_std = mean[:, None], std[:, None]
-        enhanced = enhanced * (denorm_std + 1e-9) + denorm_mean
-    elif norm == "linear-scale":
-        denorm_mx, denorm_mn = mx, mn
-        if spec.multi_speaker and apply_fn is not None:
-            denorm_mx, denorm_mn = mx[:, None], mn[:, None]
-        enhanced = enhanced * (denorm_mx - denorm_mn + 1e-9) + denorm_mn
-    return enhanced
+    key = (id(apply_fn), id(config), spec, norm, window, stride, num_sources)
+    entry = _EVAL_CACHE.get(key)
+    if entry is None:
+        fn = _build_eval_fn(apply_fn, spec, model_cfg, norm, window, stride,
+                            num_sources)
+        entry = (jax.jit(fn), apply_fn, config)
+        _EVAL_CACHE[key] = entry
+    enhanced = entry[0](variables, padded, np.int32(length))
+    return np.asarray(enhanced)[..., :length]

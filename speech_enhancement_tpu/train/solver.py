@@ -195,19 +195,27 @@ class Solver:
         mixture, sources = self._example_batch()
         inputs, _ = self._adapt(mixture, sources)
         self._rng, init_rng = jax.random.split(self._rng)
-        variables = self.model.init({"params": init_rng, "dropout": init_rng}, inputs)
-        params = variables.get("params", {})
-        if hasattr(self.model, "post_init_params"):
-            # model-specific init transform (e.g. Demucs weight rescale)
-            params = self.model.post_init_params(params)
-        batch_stats = variables.get("batch_stats", {})
-        opt_state = self.optimizer.init(params)
-        return {
-            "params": params,
-            "batch_stats": batch_stats,
-            "opt_state": opt_state,
-            "step": jnp.zeros((), jnp.int32),
-        }
+
+        # One jitted executable for the ENTIRE state construction
+        # (model.init + post-init transform + optimizer.init). Unjitted,
+        # flax init dispatches every layer op eagerly — ~100-200 separate
+        # device programs whose async relay backlog measured minutes on the
+        # remote-TPU transport (NOTES_DEV.md round 4, the --mode test
+        # "wedge"); as one program it is a single dispatch.
+        def make_state(rng, inputs):
+            variables = self.model.init({"params": rng, "dropout": rng}, inputs)
+            params = variables.get("params", {})
+            if hasattr(self.model, "post_init_params"):
+                # model-specific init transform (e.g. Demucs weight rescale)
+                params = self.model.post_init_params(params)
+            return {
+                "params": params,
+                "batch_stats": variables.get("batch_stats", {}),
+                "opt_state": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32),
+            }
+
+        return jax.jit(make_state)(init_rng, inputs)
 
     def _forward_train(self, params, batch_stats, rng, inputs):
         variables = {"params": params}
@@ -637,7 +645,12 @@ class Solver:
             for step, item in enumerate(self.test_loader):
                 if limit is not None and step >= limit:
                     break
-                mixture = jnp.asarray(item["mixture"])[None]  # [1, C, T]
+                # numpy in, numpy out: evaluate_utterance pads host-side,
+                # runs ONE jitted executable per window-count bucket, and
+                # fetches — the device queue never holds an eager-op backlog
+                # (the remote-TPU transport drains those at minutes/utterance,
+                # NOTES_DEV.md round 4)
+                mixture = np.asarray(item["mixture"])[None]  # [1, C, T]
                 clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
                 enhanced = evaluate_utterance(
                     mixture, apply_eval, variables, self.spec, self.config,
@@ -645,8 +658,8 @@ class Solver:
                 )
                 if self.spec.multi_speaker:
                     enhanced = enhanced[:, 0]  # score the target-speaker estimate
-                enhanced_np = np.asarray(enhanced)
-                mixture_np = np.asarray(mixture)
+                enhanced_np = enhanced
+                mixture_np = mixture
                 if step < int(cfg.get("num_show", 0)):
                     self.spec_audio_visualization(
                         mixture_np[0], enhanced_np[0], clean[0], item["name"], step

@@ -51,12 +51,15 @@ def bench(name, **model_kwargs):
         "model": {"segment": 4, "win_length": 16000},
         "dset": {"sample_rate": SR, "norm": "z-score"},
     })
-    out = evaluate_utterance(wav, apply_eval, variables, WAV_MONO, cfg)
-    float(jnp.sum(out))  # sync through the relay
+    import numpy as np
+
+    wav_np = np.asarray(wav)  # evaluate_utterance is numpy-in/numpy-out now
+    out = evaluate_utterance(wav_np, apply_eval, variables, WAV_MONO, cfg)
+    float(out.sum())  # already fetched (single-executable eval)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = evaluate_utterance(wav, apply_eval, variables, WAV_MONO, cfg)
-        float(jnp.sum(out))
+        out = evaluate_utterance(wav_np, apply_eval, variables, WAV_MONO, cfg)
+        float(out.sum())
     dt = (time.perf_counter() - t0) / REPS
     print(f"{name:24s} {dt*1000:7.1f} ms/utt ({SECONDS}s audio)  "
           f"{1/dt:6.1f} utt/s  RTF {SECONDS/dt:7.0f}x", flush=True)
