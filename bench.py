@@ -23,10 +23,14 @@ Configuration benched = the framework's TPU fast path:
     overhead). Measured ladder: 76.3 (r1 fast path) -> 74.9 (stacked)
     -> 72.8 (scan16) -> 67.8 (named saves) -> 65.4 ms/step (folded CBN,
     a win only in combination with the named-saves policy) on v5e,
-  * batch 128 — the round-3 sweep knee (tools/bench_batch_sweep.py):
-    batch 16/32/64/128 -> 244.8/243.8/270.9/426.6 utt/s/chip; batch 256
-    OOMs the 16 GB HBM. Per-chip throughput is the BASELINE.md metric, so
-    the headline operating point is the sweep winner, not batch 16.
+  * batch 128 — the sweep knee (tools/bench_batch_sweep.py): r4 post
+    split-weight-skip-join + int16 wire, batch 16/32/64/128 ->
+    244.8/243.8/270.9/491.7 utt/s/chip; batch 144+ OOMs the 16 GB HBM on
+    the saved conv_out residuals. Per-chip throughput is the BASELINE.md
+    metric, so the headline operating point is the sweep winner, not
+    batch 16,
+  * int16 wire scan inputs (dset.wire: int16) — resident input stacks
+    quarter; decode is one fused multiply inside the step.
 Throughput is total utterances / total wall time; each dispatch is synced
 by fetching the loss (block_until_ready lies under the axon relay).
 
