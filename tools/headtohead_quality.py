@@ -127,10 +127,12 @@ def _eval_torch_windowed(torch_model, mixture: np.ndarray, window: int,
     wins = np.stack([xp[..., k * stride:k * stride + window]
                      for k in range(n_win)])  # [N, C, W]
     with torch.no_grad():
-        out = torch_model(torch.from_numpy(wins[:, 0]))  # [N, W']
+        out = torch_model(torch.from_numpy(wins[:, 0]))  # [N, W'] or [N, 1, W']
         if isinstance(out, (tuple, list)):
             out = out[-1]
         out = out.numpy()
+    if out.ndim == 3:  # reference DCCRN emits [N, 1, T]
+        out = out[:, 0]
     if out.shape[-1] < window:  # reference iSTFT may trim the tail
         out = np.pad(out, [(0, 0), (0, window - out.shape[-1])])
     # overlap-discard (reference evaluate.py:84-90): window 0 whole, then
@@ -142,7 +144,7 @@ def _eval_torch_windowed(torch_model, mixture: np.ndarray, window: int,
     return enhanced * (std + 1e-9) + mean
 
 
-def run_ref():
+def run_ref(eval_only=False):
     import torch
 
     from speech_enhancement_tpu.data.loader import (SegmentLoader,
@@ -175,7 +177,13 @@ def run_ref():
 
     best = {"val": float("inf"), "state": None}
     log = []
-    for epoch in range(EPOCHS):
+    ckpt = os.path.join(OUT, "ref_final.pt")
+    if eval_only:  # resume a crash after training: reuse the saved weights
+        model.load_state_dict(torch.load(ckpt, weights_only=True))
+        with open(os.path.join(OUT, "ref_log.json")) as fh:
+            log = json.load(fh)
+        best = {"val": min(e["val"] for e in log), "state": None}
+    for epoch in range(0 if eval_only else EPOCHS):
         t0 = time.time()
         model.train()
         tr = []
@@ -201,6 +209,11 @@ def run_ref():
         with open(os.path.join(OUT, "ref_log.json"), "w") as fh:
             json.dump(log, fh)
 
+    if not eval_only:  # persist so eval crashes never cost the training
+        torch.save(model.state_dict(), ckpt)
+        if best["state"] is not None:
+            torch.save(best["state"], os.path.join(OUT, "ref_best.pt"))
+
     # evaluate the FINAL state: both sides test what training left behind
     # (the reference's own test flow resumes latest_model.tar, solver.py:
     # 233-257, and ours mirrors it — patience 40 > 25 epochs, no early stop)
@@ -225,7 +238,7 @@ def run_ref():
                 agg["mixture"][key].append(m_mix[key])
     summary = {side: {k: float(np.mean(v)) for k, v in vals.items() if v}
                for side, vals in agg.items()}
-    summary["epochs"] = EPOCHS
+    summary["epochs"] = len(log)
     summary["best_val"] = best["val"]
     summary["train_wall_s"] = float(sum(e["wall"] for e in log))
     with open(os.path.join(OUT, "ref.json"), "w") as fh:
@@ -244,13 +257,20 @@ def report():
         print(f"{key:12s} {mix:9.3f} {ref['enhanced'].get(key, float('nan')):10.3f} "
               f"{ours['enhanced'].get(key, float('nan')):9.3f}")
     print(f"train wall  reference {ref['train_wall_s']:.0f}s   "
-          f"ours {ours['train_wall_s']:.0f}s   ({EPOCHS} epochs each)")
+          f"ours {ours['train_wall_s']:.0f}s   "
+          f"({ref['epochs']}/{ours['epochs']} epochs ref/ours)")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["fixture", "ours", "ref", "report"])
+    ap.add_argument("phase",
+                    choices=["fixture", "ours", "ref", "refeval", "report"])
+    ap.add_argument("--epochs", type=int, default=EPOCHS,
+                    help="override the shared epoch budget (use the same "
+                         "value for the ours and ref phases)")
     args = ap.parse_args()
+    EPOCHS = args.epochs
     os.makedirs(OUT, exist_ok=True)
     {"fixture": build_fixture, "ours": run_ours, "ref": run_ref,
+     "refeval": lambda: run_ref(eval_only=True),
      "report": report}[args.phase]()
