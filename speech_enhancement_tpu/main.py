@@ -8,7 +8,16 @@ the same knob, train.py:20).
 
 from __future__ import annotations
 
+import faulthandler
+import signal
 from typing import Optional, Union
+
+# Diagnosability for every entry path (CLI, tools, tests): `kill -USR1 <pid>`
+# dumps all thread stacks. Registered here (not only in the repo-root
+# main.py) because SIGUSR1's DEFAULT disposition terminates the process —
+# probing an unregistered long run kills it instead of tracing it.
+if hasattr(signal, "SIGUSR1"):
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 from speech_enhancement_tpu.config import Config, load_config, with_defaults
 from speech_enhancement_tpu.data.loader import get_dataloader, get_train_wav_dataset

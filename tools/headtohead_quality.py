@@ -30,11 +30,18 @@ Phases (run separately; each writes JSON under --out):
 """
 
 import argparse
+import faulthandler
 import importlib.util
 import json
 import os
+import signal
 import sys
 import time
+
+# kill -USR1 <pid> dumps all thread stacks instead of terminating the run
+# (same diagnosability hook as main.py; SIGUSR1's default disposition kills).
+if hasattr(signal, "SIGUSR1"):
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
