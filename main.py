@@ -12,7 +12,7 @@ import signal
 # Python stack to stderr without interrupting the run — the one tool that
 # diagnoses a wedged remote-TPU dispatch (0% CPU, no log progress).
 if hasattr(signal, "SIGUSR1"):
-    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    faulthandler.register(signal.SIGUSR1, all_threads=True, chain=True)
 
 
 def cli():

@@ -16,8 +16,10 @@ from typing import Optional, Union
 # dumps all thread stacks. Registered here (not only in the repo-root
 # main.py) because SIGUSR1's DEFAULT disposition terminates the process —
 # probing an unregistered long run kills it instead of tracing it.
+# chain=True so an embedding application's own SIGUSR1 handler (if any)
+# still runs — importing a library must not eat the host app's signals.
 if hasattr(signal, "SIGUSR1"):
-    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    faulthandler.register(signal.SIGUSR1, all_threads=True, chain=True)
 
 from speech_enhancement_tpu.config import Config, load_config, with_defaults
 from speech_enhancement_tpu.data.loader import get_dataloader, get_train_wav_dataset
@@ -111,6 +113,8 @@ def main(
         solver._run_one_epoch(0, train=False)
     elif mode == "test":
         solver.inference(save=save)
+    elif mode is None:
+        pass  # build-only: caller drives the solver (tools, notebooks)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

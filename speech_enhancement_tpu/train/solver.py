@@ -125,7 +125,8 @@ class Solver:
             save_yaml(config, os.path.join(self.run_dir, "config.yaml"))
 
         self.writer = self._make_writer() if self.is_primary else None
-        self.scores: Dict[str, Any] = {"train_loss": [], "val_loss": [], "best_score": None}
+        self.scores: Dict[str, Any] = {"train_loss": [], "val_loss": [],
+                                       "best_score": None, "epoch_wall_s": []}
         self.start_epoch = 0
         self.early_stop_count = 0
 
@@ -526,6 +527,10 @@ class Solver:
                     is_best,
                 )
             best = self.scores.get("best_score")
+            # epoch-0 wall includes the one-time train/val-step compiles;
+            # tools (headtohead_quality) split it out of steady-state cost
+            self.scores.setdefault("epoch_wall_s", []).append(
+                round(time.time() - t0, 2))
             print(
                 f"epoch {epoch}: train_loss={train_loss:.5f}"
                 + (f" val_loss={val_loss:.5f}" if val_loss is not None else "")

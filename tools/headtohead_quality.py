@@ -27,6 +27,19 @@ Phases (run separately; each writes JSON under --out):
   python tools/headtohead_quality.py ours      # train+test ours (TPU, ~10 min)
   python tools/headtohead_quality.py ref       # train+test reference (CPU, ~2 h)
   python tools/headtohead_quality.py report    # print the comparison table
+
+To-convergence mode (reference early-stop contract, src/solver.py:355-384:
+patience counted over non-improving validations, training stops when the
+counter exceeds it; --epochs becomes the hard cap):
+  python tools/headtohead_quality.py ours --patience 10 --epochs 80 --seed 10
+  python tools/headtohead_quality.py ref  --patience 10 --epochs 80 --seed 10
+  python tools/headtohead_quality.py report --seeds 10,20,30
+With --patience set, artifacts are written per-seed ({side}_s{seed}.json)
+and the ref phase checkpoints EVERY epoch so an interrupted run stays
+evaluable via the refeval phase. Both sides evaluate the state training
+left behind (the reference's own test flow resumes latest_model.tar,
+solver.py:233-257); the ref artifact additionally scores its best-val
+weights for context.
 """
 
 import argparse
@@ -41,7 +54,7 @@ import time
 # kill -USR1 <pid> dumps all thread stacks instead of terminating the run
 # (same diagnosability hook as main.py; SIGUSR1's default disposition kills).
 if hasattr(signal, "SIGUSR1"):
-    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    faulthandler.register(signal.SIGUSR1, all_threads=True, chain=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,6 +65,7 @@ OUT = "/tmp/h2h"
 EPOCHS = 25
 BATCH = 16
 SEED = 10
+PATIENCE = None  # int -> to-convergence mode (early stop, EPOCHS = cap)
 SPLIT = [0.8, 0.1, 0.1]  # ~9 held-out test utterances from 96
 REF_DCCRN = "/root/reference/src/model/dccrn.py"
 REF_LOSS = "/root/reference/src/loss.py"
@@ -79,7 +93,14 @@ def _config(tmp_root: str):
     cfg.solver.root = tmp_root
     cfg.solver.batch_size = BATCH
     cfg.solver.test.total_steps = 0  # score every held-out utterance
+    if PATIENCE is not None:
+        cfg.solver.patience = PATIENCE
     return cfg
+
+
+def _tag(side: str) -> str:
+    """Artifact basename: per-seed in to-convergence mode, legacy otherwise."""
+    return f"{side}_s{SEED}" if PATIENCE is not None else side
 
 
 def build_fixture():
@@ -91,25 +112,48 @@ def build_fixture():
 
 
 def run_ours():
-    """Train + test this framework through its own CLI path."""
+    """Train + test this framework through its own CLI path.
+
+    Wall-clock is broken out so the headline number can't be misread:
+    ``setup`` (data+model+solver build), ``first_epoch`` (includes the jitted
+    train/val-step compiles — one-time, served from the persistent compile
+    cache on reruns), ``steady_epochs`` (everything after epoch 0: the number
+    a long run extrapolates from), and ``inference`` (windowed eval + host
+    metric scoring of the held-out utterances).
+    """
     import yaml
 
     from speech_enhancement_tpu.config import obj2dict
     from speech_enhancement_tpu.main import main
 
-    cfg = _config(os.path.join(OUT, "ours"))
+    cfg = _config(os.path.join(OUT, _tag("ours")))
     os.makedirs(OUT, exist_ok=True)
-    cfg_path = os.path.join(OUT, "ours.yaml")
+    cfg_path = os.path.join(OUT, _tag("ours") + ".yaml")
     with open(cfg_path, "w") as fh:
         yaml.safe_dump(obj2dict(cfg), fh)
 
     t0 = time.time()
-    solver = main(cfg_path, mode="train", return_solver=True)
-    train_wall = time.time() - t0
+    solver = main(cfg_path, mode=None, return_solver=True)  # build only
+    t_setup = time.time()
+    scores = solver.train()
+    t_train = time.time()
     summary = solver.inference()
-    summary["train_wall_s"] = train_wall
-    summary["epochs"] = EPOCHS
-    with open(os.path.join(OUT, "ours.json"), "w") as fh:
+    t_eval = time.time()
+    epochs_ran = len(scores.get("train_loss", []))
+    epoch_walls = scores.get("epoch_wall_s") or []
+    summary["train_wall_s"] = t_train - t0
+    summary["epochs"] = epochs_ran
+    summary["best_val"] = scores.get("best_score")
+    summary["wall_breakdown_s"] = {
+        "setup": round(t_setup - t0, 1),
+        "train_total": round(t_train - t_setup, 1),
+        "first_epoch": round(epoch_walls[0], 1) if epoch_walls else None,
+        "steady_epochs": (round(sum(epoch_walls[1:]), 1)
+                          if len(epoch_walls) > 1 else None),
+        "inference": round(t_eval - t_train, 1),
+    }
+    summary["val_log"] = scores.get("val_loss", [])
+    with open(os.path.join(OUT, _tag("ours") + ".json"), "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary, indent=2))
 
@@ -159,7 +203,7 @@ def run_ref(eval_only=False):
     from speech_enhancement_tpu.train import metrics as metrics_lib
 
     torch.manual_seed(SEED)
-    cfg = _config(os.path.join(OUT, "ref"))
+    cfg = _config(os.path.join(OUT, _tag("ref")))
     train_ds, val_ds, test_ds = get_train_wav_dataset(
         cfg.dset, cfg.model, seed=SEED)
     seg = int(cfg.dset.sample_rate * cfg.dset.segment)
@@ -184,12 +228,16 @@ def run_ref(eval_only=False):
 
     best = {"val": float("inf"), "state": None}
     log = []
-    ckpt = os.path.join(OUT, "ref_final.pt")
+    tag = _tag("ref")
+    ckpt = os.path.join(OUT, tag + "_final.pt")
+    best_ckpt = os.path.join(OUT, tag + "_best.pt")
+    log_path = os.path.join(OUT, tag + "_log.json")
     if eval_only:  # resume a crash after training: reuse the saved weights
         model.load_state_dict(torch.load(ckpt, weights_only=True))
-        with open(os.path.join(OUT, "ref_log.json")) as fh:
+        with open(log_path) as fh:
             log = json.load(fh)
         best = {"val": min(e["val"] for e in log), "state": None}
+    early_stop = 0
     for epoch in range(0 if eval_only else EPOCHS):
         t0 = time.time()
         model.train()
@@ -209,17 +257,30 @@ def run_ref(eval_only=False):
             best = {"val": val,
                     "state": {k: v.detach().clone()
                               for k, v in model.state_dict().items()}}
+            early_stop = 0
+        else:
+            early_stop += 1
         log.append({"epoch": epoch, "train": float(np.mean(tr)), "val": val,
                     "wall": time.time() - t0})
         print(f"ref epoch {epoch}: train={np.mean(tr):.3f} val={val:.3f} "
               f"best={best['val']:.3f} ({log[-1]['wall']:.0f}s)", flush=True)
-        with open(os.path.join(OUT, "ref_log.json"), "w") as fh:
+        with open(log_path, "w") as fh:
             json.dump(log, fh)
+        if PATIENCE is not None:
+            # checkpoint every epoch: a multi-hour CPU run interrupted by the
+            # wall clock stays evaluable through the refeval phase
+            torch.save(model.state_dict(), ckpt)
+            if best["state"] is not None:
+                torch.save(best["state"], best_ckpt)
+            if early_stop > PATIENCE:  # reference contract solver.py:383-384
+                print(f"ref early stopping at epoch {epoch} "
+                      f"(patience {PATIENCE})", flush=True)
+                break
 
     if not eval_only:  # persist so eval crashes never cost the training
         torch.save(model.state_dict(), ckpt)
         if best["state"] is not None:
-            torch.save(best["state"], os.path.join(OUT, "ref_best.pt"))
+            torch.save(best["state"], best_ckpt)
 
     # evaluate the FINAL state: both sides test what training left behind
     # (the reference's own test flow resumes latest_model.tar, solver.py:
@@ -228,44 +289,90 @@ def run_ref(eval_only=False):
 
     window = int(cfg.dset.sample_rate * cfg.model.segment)
     stride = int(cfg.model.win_length)
-    agg = {"enhanced": {"sisdr": [], "stoi": [], "pesq": []},
-           "mixture": {"sisdr": [], "stoi": [], "pesq": []}}
     include = ("sisdr", "stoi", "pesq")
-    for i in range(len(test_ds)):
-        item = test_ds[i]
-        mixture = np.asarray(item["mixture"])  # [C, T]
-        clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
-        enhanced = _eval_torch_windowed(model, mixture, window, stride)[None]
-        sr = int(cfg.dset.sample_rate)
-        m_enh = metrics_lib.compute_metrics(clean, enhanced, sr, include)
-        m_mix = metrics_lib.compute_metrics(clean, mixture[None], sr, include)
-        for key in include:
-            if m_enh.get(key) is not None:
-                agg["enhanced"][key].append(m_enh[key])
-                agg["mixture"][key].append(m_mix[key])
-    summary = {side: {k: float(np.mean(v)) for k, v in vals.items() if v}
-               for side, vals in agg.items()}
+    sr = int(cfg.dset.sample_rate)
+
+    def score_current():
+        agg = {"enhanced": {k: [] for k in include},
+               "mixture": {k: [] for k in include}}
+        for i in range(len(test_ds)):
+            item = test_ds[i]
+            mixture = np.asarray(item["mixture"])  # [C, T]
+            clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
+            enhanced = _eval_torch_windowed(model, mixture, window,
+                                            stride)[None]
+            m_enh = metrics_lib.compute_metrics(clean, enhanced, sr, include)
+            m_mix = metrics_lib.compute_metrics(clean, mixture[None], sr,
+                                                include)
+            for key in include:
+                if m_enh.get(key) is not None:
+                    agg["enhanced"][key].append(m_enh[key])
+                    agg["mixture"][key].append(m_mix[key])
+        return {side: {k: float(np.mean(v)) for k, v in vals.items() if v}
+                for side, vals in agg.items()}
+
+    summary = score_current()
+    if PATIENCE is not None and os.path.exists(best_ckpt):
+        # context row: the best-val weights (ours evaluates final state like
+        # the reference's own latest_model.tar test flow; report both here)
+        model.load_state_dict(torch.load(best_ckpt, weights_only=True))
+        model.eval()
+        summary["enhanced_best_val"] = score_current()["enhanced"]
     summary["epochs"] = len(log)
     summary["best_val"] = best["val"]
     summary["train_wall_s"] = float(sum(e["wall"] for e in log))
-    with open(os.path.join(OUT, "ref.json"), "w") as fh:
+    with open(os.path.join(OUT, tag + ".json"), "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary, indent=2))
 
 
-def report():
-    with open(os.path.join(OUT, "ours.json")) as fh:
-        ours = json.load(fh)
-    with open(os.path.join(OUT, "ref.json")) as fh:
-        ref = json.load(fh)
-    print(f"{'metric':12s} {'mixture':>9s} {'reference':>10s} {'ours':>9s}")
+def _load_side(side: str, seeds):
+    """Load per-seed artifacts ({side}_s{seed}.json), falling back to the
+    legacy single-run name when no per-seed file exists."""
+    out = {}
+    for seed in seeds:
+        path = os.path.join(OUT, f"{side}_s{seed}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                out[seed] = json.load(fh)
+    if not out and os.path.exists(os.path.join(OUT, side + ".json")):
+        with open(os.path.join(OUT, side + ".json")) as fh:
+            out["legacy"] = json.load(fh)
+    return out
+
+
+def report(seeds=(SEED,)):
+    ours = _load_side("ours", seeds)
+    ref = _load_side("ref", seeds)
+    if not ours or not ref:
+        sys.exit(f"missing artifacts under {OUT} (ours: {sorted(ours)}, "
+                 f"ref: {sorted(ref)})")
+
+    def stat(side, key, field="enhanced"):
+        vals = [run[field][key] for run in side.values()
+                if run.get(field, {}).get(key) is not None]
+        return (float(np.mean(vals)), float(np.std(vals))) if vals else (
+            float("nan"), 0.0)
+
+    any_run = next(iter(ref.values()))
+    print(f"seeds: ours={sorted(ours)} ref={sorted(ref)}")
+    print(f"{'metric':12s} {'mixture':>9s} {'reference':>16s} {'ours':>16s}"
+          f" {'delta':>8s}")
     for key in ("sisdr", "stoi", "pesq"):
-        mix = ref["mixture"].get(key, ours["mixture"].get(key))
-        print(f"{key:12s} {mix:9.3f} {ref['enhanced'].get(key, float('nan')):10.3f} "
-              f"{ours['enhanced'].get(key, float('nan')):9.3f}")
-    print(f"train wall  reference {ref['train_wall_s']:.0f}s   "
-          f"ours {ours['train_wall_s']:.0f}s   "
-          f"({ref['epochs']}/{ours['epochs']} epochs ref/ours)")
+        mix = any_run["mixture"].get(key, float("nan"))
+        rm, rs = stat(ref, key)
+        om, os_ = stat(ours, key)
+        print(f"{key:12s} {mix:9.3f} {rm:10.3f}±{rs:5.3f} "
+              f"{om:10.3f}±{os_:5.3f} {om - rm:+8.3f}")
+    rw = [r["train_wall_s"] for r in ref.values()]
+    ow = [o["train_wall_s"] for o in ours.values()]
+    re_ = [r["epochs"] for r in ref.values()]
+    oe = [o["epochs"] for o in ours.values()]
+    print(f"train wall  reference {np.mean(rw):.0f}s ({re_} epochs)   "
+          f"ours {np.mean(ow):.0f}s ({oe} epochs)")
+    for seed, o in ours.items():
+        if o.get("wall_breakdown_s"):
+            print(f"ours seed {seed} wall breakdown: {o['wall_breakdown_s']}")
 
 
 if __name__ == "__main__":
@@ -273,11 +380,23 @@ if __name__ == "__main__":
     ap.add_argument("phase",
                     choices=["fixture", "ours", "ref", "refeval", "report"])
     ap.add_argument("--epochs", type=int, default=EPOCHS,
-                    help="override the shared epoch budget (use the same "
-                         "value for the ours and ref phases)")
+                    help="epoch budget (fixed mode) or hard cap "
+                         "(with --patience)")
+    ap.add_argument("--patience", type=int, default=None,
+                    help="to-convergence mode: early-stop patience "
+                         "(reference src/solver.py:355-384 contract)")
+    ap.add_argument("--seed", type=int, default=SEED)
+    ap.add_argument("--seeds", default=None,
+                    help="report phase: comma-separated seed list")
     args = ap.parse_args()
     EPOCHS = args.epochs
+    PATIENCE = args.patience
+    SEED = args.seed
     os.makedirs(OUT, exist_ok=True)
-    {"fixture": build_fixture, "ours": run_ours, "ref": run_ref,
-     "refeval": lambda: run_ref(eval_only=True),
-     "report": report}[args.phase]()
+    if args.phase == "report":
+        seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+                 else [SEED])
+        report(seeds)
+    else:
+        {"fixture": build_fixture, "ours": run_ours, "ref": run_ref,
+         "refeval": lambda: run_ref(eval_only=True)}[args.phase]()
