@@ -18,12 +18,14 @@
 // instead of the ITU lookup tables — the Rec's numeric band tables are not
 // reproducible in this offline image without risking corrupted constants —
 // and the threshold-in-quiet uses Terhardt's analytic approximation. Time
-// alignment is the Rec's two-stage structure: crude whole-file envelope
-// alignment, then per-utterance split + realign with piecewise-constant
-// delays (find_utterances/realign_utterances below); the bad-interval
-// re-split iteration is not implemented. Scores are therefore P.862-class,
-// not certified-conformant; when the conformant `pesq` wheel is installed
-// it takes precedence (train/metrics.py).
+// alignment is the Rec's full three-stage structure: crude whole-file
+// envelope alignment, per-utterance split + realign with piecewise-constant
+// delays (find_utterances/realign_utterances below), and the bad-interval
+// re-split — frames whose disturbance stays pathological after alignment
+// get their span re-delayed and re-scored, keeping the per-frame minimum
+// (the re-split block in pesq_mos). Scores are P.862-class, not
+// certified-conformant; when the conformant `pesq` wheel is installed it
+// takes precedence (train/metrics.py).
 
 #include <algorithm>
 #include <cstdio>
@@ -71,6 +73,14 @@ double bark_of_hz(double f) {
   return 13.0 * std::atan(0.00076 * f) +
          3.5 * std::atan((f / 7500.0) * (f / 7500.0));
 }
+
+// P.862 §10.2.4 bad-interval re-split constants: a frame is "bad" when its
+// symmetric frame disturbance exceeds kBadFrameThresh; runs of at least
+// kMinBadRun consecutive bad frames form a bad interval whose span is
+// re-aligned (new delay search) and re-scored, keeping the per-frame
+// minimum of original vs re-aligned disturbance.
+constexpr double kBadFrameThresh = 30.0;
+constexpr int kMinBadRun = 5;
 
 // Terhardt's analytic threshold in quiet, dB SPL
 double thresh_quiet_db(double f_hz) {
@@ -244,8 +254,8 @@ long envelope_delay(const std::vector<double>& ref,
 // within the utterance, refined to sample accuracy by bounded time-domain
 // cross-correlation — and the degraded signal is rebuilt with that
 // piecewise-constant delay. This handles the Rec's variable-delay model;
-// the remaining deviation is the lack of the bad-interval re-split
-// iteration (documented in the header).
+// spans it still mis-aligns are caught by the bad-interval re-split stage
+// in pesq_mos (frames with pathological disturbance re-delayed+re-scored).
 // -------------------------------------------------------------------------
 struct Utterance { size_t begin, end; };  // sample span in the reference
 
@@ -441,19 +451,16 @@ double pesq_mos(const float* ref_in, const float* deg_in, long n, int fs,
     for (int f = 0; f < nf; ++f) tot_ref[f] = total_audible(pref[f], bands, 1.0);
   }
 
-  // short-term gain compensation of the degraded signal + disturbances
-  std::vector<double> d_frame, da_frame;
-  d_frame.reserve(nf); da_frame.reserve(nf);
-  double gain = 1.0;
-  for (int f = 0; f < nf; ++f) {
-    const double cond = (tot_ref[f] + 5e3) / (tot_deg[f] + 5e3);
-    gain = (f == 0) ? cond : 0.2 * gain + 0.8 * cond;
-    gain = std::min(5.0, std::max(3e-4, gain));
-
-    std::vector<double> d(nb), da(nb);
+  // per-frame disturbance from (compensated) reference and degraded Bark
+  // rows under a given short-term gain (P.862 §10.2.5-10.3.4)
+  auto disturbance_of = [&](const std::vector<double>& pr_row,
+                            const std::vector<double>& pd_row, double gain,
+                            double tref, double* dsym_out,
+                            double* dasym_out) {
+    double s3 = 0.0, s1 = 0.0;
     for (int i = 0; i < nb; ++i) {
-      const double pr = pref[f][i];
-      const double pd = pdeg[f][i] * gain;
+      const double pr = pr_row[i];
+      const double pd = pd_row[i] * gain;
       const double lr = zwicker_loudness(pr, bands.absthr[i]);
       const double ld = zwicker_loudness(pd, bands.absthr[i]);
       double diff = ld - lr;
@@ -461,28 +468,95 @@ double pesq_mos(const float* ref_in, const float* deg_in, long n, int fs,
       if (diff > dead) diff -= dead;
       else if (diff < -dead) diff += dead;
       else diff = 0.0;
-      d[i] = diff;
       double asym = std::pow((pd + 50.0) / (pr + 50.0), 1.2);
       if (asym < 3.0) asym = 0.0;
       asym = std::min(asym, 12.0);
-      da[i] = std::fabs(diff) * asym;
-    }
-    // band aggregation (P.862 §10.3.4): pseudo-Lp with Bark-width
-    // weights, D = Wtot * (Σ (w_b*|d_b|)^p / Wtot)^(1/p); L3 symmetric,
-    // L1 asymmetric (weight factors cancel at p = 1)
-    double s3 = 0.0, s1 = 0.0;
-    for (int i = 0; i < nb; ++i) {
-      s3 += std::pow(bands.width[i] * std::fabs(d[i]), 3.0);
-      s1 += bands.width[i] * da[i];
+      // band aggregation (P.862 §10.3.4): pseudo-Lp with Bark-width
+      // weights, D = Wtot * (Σ (w_b*|d_b|)^p / Wtot)^(1/p); L3 symmetric,
+      // L1 asymmetric (weight factors cancel at p = 1)
+      s3 += std::pow(bands.width[i] * std::fabs(diff), 3.0);
+      s1 += bands.width[i] * std::fabs(diff) * asym;
     }
     double dsym = bands.wtot * std::pow(s3 / bands.wtot, 1.0 / 3.0);
     double dasym = s1;
     // emphasis of disturbances in quiet reference frames
-    const double h = std::pow((tot_ref[f] + 1e5) / 1e7, 0.04);
-    dsym = std::min(dsym / h, 45.0);
-    dasym = std::min(dasym / h, 45.0);
-    d_frame.push_back(dsym);
-    da_frame.push_back(dasym);
+    const double h = std::pow((tref + 1e5) / 1e7, 0.04);
+    *dsym_out = std::min(dsym / h, 45.0);
+    *dasym_out = std::min(dasym / h, 45.0);
+  };
+
+  // short-term gain compensation of the degraded signal + disturbances;
+  // the smoothed gain is kept per frame so the bad-interval re-score below
+  // re-uses the first pass's gain track (re-alignment changes the frames'
+  // spectra, not the long-term gain condition)
+  std::vector<double> d_frame(nf), da_frame(nf), gain_frame(nf);
+  double gain = 1.0;
+  for (int f = 0; f < nf; ++f) {
+    const double cond = (tot_ref[f] + 5e3) / (tot_deg[f] + 5e3);
+    gain = (f == 0) ? cond : 0.2 * gain + 0.8 * cond;
+    gain = std::min(5.0, std::max(3e-4, gain));
+    gain_frame[f] = gain;
+    disturbance_of(pref[f], pdeg[f], gain, tot_ref[f], &d_frame[f],
+                   &da_frame[f]);
+  }
+
+  // -----------------------------------------------------------------------
+  // Bad-interval re-split (P.862 §10.2.4): runs of >= kMinBadRun frames
+  // with symmetric disturbance > kBadFrameThresh mark a span where the
+  // crude+utterance alignment likely failed. Each bad interval gets an
+  // independent delay search (4 ms envelope correlation over the span,
+  // refined by bounded time-domain cross-correlation), its frames are
+  // re-scored against the re-delayed degraded signal, and each frame keeps
+  // the minimum of original vs re-aligned disturbance — the Rec's rule, so
+  // a spurious re-alignment can never worsen the score.
+  // -----------------------------------------------------------------------
+  const int hop = nfft / 2;
+  std::vector<double> win_fn(nfft);
+  double wss = 0.0;
+  for (int i = 0; i < nfft; ++i) {
+    win_fn[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / nfft);
+    wss += win_fn[i] * win_fn[i];
+  }
+  wss /= nfft;
+  // PESQ_NATIVE_NO_RESPLIT=1 disables the stage (A/B tooling + tests
+  // asserting the re-split only ever helps)
+  int f0 = getenv("PESQ_NATIVE_NO_RESPLIT") ? nf : 0;
+  while (f0 < nf) {
+    if (d_frame[f0] <= kBadFrameThresh) { ++f0; continue; }
+    int f1 = f0;
+    while (f1 < nf && d_frame[f1] > kBadFrameThresh) ++f1;
+    if (f1 - f0 >= kMinBadRun) {
+      const size_t s_begin = (size_t)f0 * hop;
+      const size_t s_end = std::min(ref.size(), (size_t)(f1 - 1) * hop + nfft);
+      // delay search for this interval against the (aligned) degraded
+      // signal: reuse the utterance machinery on the interval span
+      const Utterance span{s_begin, s_end};
+      const long d = utterance_delay(ref, deg, span, fs);
+      if (d != 0) {
+        std::vector<double> re(nfft), im(nfft), spec(nfft / 2 + 1);
+        std::vector<double> pd_row(nb);
+        for (int f = f0; f < f1; ++f) {
+          // re-framed degraded power spectrum at the new delay
+          for (int i = 0; i < nfft; ++i) {
+            const long t = (long)f * hop + i + d;
+            re[i] = (t >= 0 && t < (long)deg.size()) ? deg[t] * win_fn[i] : 0.0;
+            im[i] = 0.0;
+          }
+          fft(re, im);
+          for (int k = 0; k <= nfft / 2; ++k)
+            spec[k] = (re[k] * re[k] + im[k] * im[k]) / ((double)nfft * wss);
+          for (int i = 0; i < nb; ++i) pd_row[i] = band_power(spec, bands, i);
+          double dsym, dasym;
+          disturbance_of(pref[f], pd_row, gain_frame[f], tot_ref[f], &dsym,
+                         &dasym);
+          if (dsym < d_frame[f]) {  // keep the better alignment per frame
+            d_frame[f] = dsym;
+            da_frame[f] = dasym;
+          }
+        }
+      }
+    }
+    f0 = f1;
   }
 
   // time aggregation: L6 over 20-frame split-second intervals (stride 10),
