@@ -42,6 +42,11 @@ class LSTMLayer(nn.Module):
     use_bias: bool = True
     unroll: int = 1  # lax.scan unroll factor (amortizes loop overhead on TPU)
     dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
+    # route the recurrence through the resident-weight Pallas kernel
+    # (ops/pallas/lstm.py): True = on the TPU backend when H is
+    # lane-aligned; "force" = everywhere incl. interpret mode (tests);
+    # False = lax.scan. Parameters and math are identical either way.
+    fused: object = False
 
     @nn.compact
     def __call__(
@@ -80,6 +85,18 @@ class LSTMLayer(nn.Module):
             # match the scan carry dtype (a caller-held f32 state must not
             # change the carry dtype mid-scan under a bf16 compute dtype)
             h0, c0 = (s.astype(x.dtype) for s in init_state)
+
+        use_fused = bool(self.fused) and h_dim % 128 == 0 and (
+            self.fused == "force" or jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from speech_enhancement_tpu.ops.pallas.lstm import fused_lstm
+
+            interpret = jax.default_backend() != "tpu"
+            out, h_last, c_last = fused_lstm(
+                x_proj, w_hh, h0, c0, self.reverse, interpret)
+            return jnp.swapaxes(out, 0, 1), (h_last.astype(x.dtype),
+                                             c_last.astype(x.dtype))
 
         def step(carry, xp):
             h, c = carry
@@ -204,21 +221,24 @@ class RNNStack(nn.Module):
     use_bias: bool = True
     unroll: int = 1
     dtype: Any = None  # compute dtype (e.g. bfloat16); params stay float32
+    # resident-weight Pallas recurrence (LSTM layers only; see LSTMLayer)
+    fused: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         layer_cls = {"lstm": LSTMLayer, "gru": GRULayer, "rnn": VanillaRNNLayer}[self.rnn_type]
+        fused_kw = {"fused": self.fused} if self.rnn_type == "lstm" else {}
         out = x
         for layer in range(self.num_layers):
             fwd = layer_cls(self.hidden_size, use_bias=self.use_bias,
                             unroll=self.unroll, dtype=self.dtype,
-                            name=f"l{layer}_fwd")(out)
+                            name=f"l{layer}_fwd", **fused_kw)(out)
             if isinstance(fwd, tuple):
                 fwd = fwd[0]
             if self.bidirectional:
                 bwd = layer_cls(self.hidden_size, reverse=True, use_bias=self.use_bias,
                                 unroll=self.unroll, dtype=self.dtype,
-                                name=f"l{layer}_bwd")(out)
+                                name=f"l{layer}_bwd", **fused_kw)(out)
                 if isinstance(bwd, tuple):
                     bwd = bwd[0]
                 out = jnp.concatenate([fwd, bwd], axis=-1)
