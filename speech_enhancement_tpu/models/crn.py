@@ -85,6 +85,10 @@ class CRN(nn.Module):
     # fast path — the model is LSTM-matmul-bound); params/BN stats stay f32
     dtype: str = "float32"
     lstm_unroll: int = 8  # lax.scan unroll (amortizes loop overhead)
+    # resident-weight Pallas recurrence (ops/pallas/lstm.py): the 1792-wide
+    # w_hh (25.7 MB bf16) stays in VMEM across timesteps instead of being
+    # re-streamed from HBM every step
+    fused_rnn: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -108,9 +112,11 @@ class CRN(nn.Module):
             batch, n_freq, n_frame, n_chan = h.shape
             flat = h.transpose(0, 2, 3, 1).reshape(batch, n_frame, n_chan * n_freq)
             flat, _ = LSTMLayer(n_chan * n_freq, dtype=compute_dtype,
-                                unroll=self.lstm_unroll, name="lstm1")(flat)
+                                unroll=self.lstm_unroll, name="lstm1",
+                                fused=self.fused_rnn)(flat)
             flat, _ = LSTMLayer(n_chan * n_freq, dtype=compute_dtype,
-                                unroll=self.lstm_unroll, name="lstm2")(flat)
+                                unroll=self.lstm_unroll, name="lstm2",
+                                fused=self.fused_rnn)(flat)
             mid = flat.reshape(batch, n_frame, n_chan, n_freq)
             mid = mid.transpose(0, 3, 1, 2)  # [B, F, T, C]
         else:

@@ -42,6 +42,8 @@ class MelRNN(nn.Module):
     # False = proper time recurrence; True reproduces the reference
     # execution exactly (torch-weight parity, tests/test_parity.py).
     rnn_over_batch_compat: bool = False
+    # resident-weight Pallas recurrence (ops/pallas/lstm.py; lstm type only)
+    fused_rnn: object = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,6 +67,7 @@ class MelRNN(nn.Module):
         x = RNNStack(
             rnn_type=self.rnn_type, hidden_size=self.rnn_hidden,
             num_layers=self.rnn_layer, use_bias=False, name="rnn",
+            fused=self.fused_rnn,
         )(x, train=train)
         if self.rnn_over_batch_compat:
             x = jnp.swapaxes(x, 0, 1)

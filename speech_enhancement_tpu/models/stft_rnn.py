@@ -41,6 +41,10 @@ class RNNSTFTMask(nn.Module):
     # params, BatchNorm, Dense head and the mask multiply stay float32.
     dtype: str = "float32"
     rnn_unroll: int = 8  # lax.scan unroll (amortizes loop overhead on TPU)
+    # resident-weight Pallas recurrence (ops/pallas/lstm.py): w_hh stays in
+    # VMEM across timesteps instead of re-streaming from HBM every step
+    # (lstm layers only; True = TPU, "force" = interpret mode for tests)
+    fused_rnn: object = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -56,6 +60,7 @@ class RNNSTFTMask(nn.Module):
             num_layers=self.rnn_layer, bidirectional=self.bidirectional,
             dropout=self.drop_out, use_bias=False, name="rnn",
             unroll=self.rnn_unroll, dtype=jnp.dtype(self.dtype),
+            fused=self.fused_rnn,
         )(mask, train=train).astype(jnp.float32)
         if self.rnn_over_batch_compat:
             mask = jnp.swapaxes(mask, 0, 1)

@@ -26,6 +26,75 @@ import jax.numpy as jnp
 import optax
 
 
+def build_bench_point(batch=128, steps_per_call=16):
+    """The EXACT bench.py operating point: bf16 DCCRN, remat named-saves
+    conv_out,cbn_stats, folded CBN, int16-wire inputs, scan-16 dispatch.
+
+    Returns (fn, args, n_steps_per_dispatch) where fn(*args) -> (state,
+    losses); per-op times from a trace divide by steps*steps_per_call.
+    """
+    import optax
+
+    from speech_enhancement_tpu.models.dccrn import DCCRN
+    from speech_enhancement_tpu.train.losses import mse_loss
+
+    model = DCCRN(dtype="bfloat16", remat=True,
+                  remat_policy="conv_out,cbn_stats", cbn_fold=True)
+    optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    mixture = jax.random.normal(k1, (batch, 1, 64000)) * 0.1
+    target = jax.random.normal(k2, (batch, 1, 64000)) * 0.1
+    variables = model.init(k3, mixture)
+    state = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": optimizer.init(variables["params"]),
+    }
+
+    def step_fn(state, rng, mixture, target):
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                mixture, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return mse_loss(out, target), mutated.get("batch_stats", {})
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state["params"])
+        updates, new_opt = optimizer.update(grads, state["opt_state"],
+                                            state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return ({"params": new_params, "batch_stats": new_stats,
+                 "opt_state": new_opt}, loss)
+
+    def enc(x):
+        scale = jnp.max(jnp.abs(x)) / 32767.0 + 1e-12
+        return {"q": jnp.round(x / scale).astype(jnp.int16),
+                "scale": jnp.full((x.shape[0],), scale, jnp.float32)}
+
+    def dec(x):
+        return x["q"].astype(jnp.float32) * x["scale"]
+
+    mixtures = enc(jnp.stack([mixture] * steps_per_call))
+    targets = enc(jnp.stack([target] * steps_per_call))
+
+    @jax.jit
+    def train_scan(state, rng, mixtures, targets):
+        def body(carry, batch):
+            st, rng_key = carry
+            rng_key, sub = jax.random.split(rng_key)
+            st, loss = step_fn(st, sub, dec(batch[0]), dec(batch[1]))
+            return (st, rng_key), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, rng),
+                                          (mixtures, targets))
+        return state, losses
+
+    return train_scan, state, mixtures, targets, steps_per_call
+
+
 def build_step(remat=False, save=False, fold=False, fused=False,
                model_name="dccrn", batch=16):
     from speech_enhancement_tpu.train.losses import mse_loss
@@ -101,21 +170,31 @@ def main():
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--model", default="dccrn", choices=["dccrn", "sepformer"])
     parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--bench-point", action="store_true",
+                        help="profile the exact bench.py operating point "
+                             "(batch 128, scan-16, int16 wire, remat+fold)")
     args = parser.parse_args()
 
-    train_step, state, mixture, target = build_step(
-        remat=args.remat, save=args.save, fold=args.fold, fused=args.fused,
-        model_name=args.model, batch=args.batch)
+    steps_per_dispatch = 1
+    if args.bench_point:
+        batch = args.batch if args.batch != 16 else 128
+        train_step, state, mixture, target, steps_per_dispatch = (
+            build_bench_point(batch=batch))
+    else:
+        train_step, state, mixture, target = build_step(
+            remat=args.remat, save=args.save, fold=args.fold,
+            fused=args.fused, model_name=args.model, batch=args.batch)
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         state, loss = train_step(state, rng, mixture, target)
-        float(loss)
+        float(jnp.ravel(loss)[-1])
 
     jax.profiler.start_trace(args.outdir)
     for _ in range(args.steps):
         state, loss = train_step(state, rng, mixture, target)
-        float(loss)
+        float(jnp.ravel(loss)[-1])
     jax.profiler.stop_trace()
+    args.steps *= steps_per_dispatch  # per-op tables divide by true steps
 
     paths = sorted(glob.glob(os.path.join(args.outdir, "plugins/profile/*/*.trace.json.gz")))
     path = paths[-1]
