@@ -93,7 +93,11 @@ def _build_eval_fn(apply_fn, spec: SignalSpec, model_cfg, norm: str,
 
     def fn(variables, padded, length):
         total = padded.shape[-1]
-        mask = (jnp.arange(total) < length).astype(padded.dtype)  # [total]
+        # length is per-utterance [B] (a scalar broadcasts): mask [B, 1,
+        # total] so a batch can mix true lengths within one bucket while
+        # every utterance's statistics stay those of ITS unpadded samples
+        length = jnp.reshape(length, (-1, 1, 1))
+        mask = (jnp.arange(total) < length).astype(padded.dtype)
         cnt = length.astype(padded.dtype)
 
         if norm == "z-score":
@@ -160,6 +164,7 @@ def evaluate_utterance(
     spec: SignalSpec,
     config,
     num_sources: Optional[int] = None,
+    lengths=None,
 ) -> np.ndarray:
     """Enhance one utterance batch [B, C, T] -> [B, C, T] (or [B, S, C, T]).
 
@@ -168,6 +173,12 @@ def evaluate_utterance(
     evaluate.py:65-66). Accepts a numpy or device array; returns numpy (the
     enhanced utterance is fetched — every caller scores/writes it host-side
     next, and fetching here keeps the device queue one-executable deep).
+
+    ``lengths`` (batched test-time eval): per-utterance true lengths [B]
+    when the rows of ``mixture`` are zero-padded to a shared T. Each
+    utterance is normalized/denormalized over its OWN samples (masked
+    statistics); the caller trims row b to ``lengths[b]``. Omitted =
+    every row is genuinely T long (the batch-1 path).
     """
     model_cfg = config.model
     norm = str(config.dset.norm)
@@ -181,6 +192,8 @@ def evaluate_utterance(
     total = window + (n_pad - 1) * stride  # bucket-static padded length
     padded = np.zeros(host.shape[:-1] + (total,), host.dtype)
     padded[..., :length] = host
+    length_arg = (np.asarray(lengths, np.int32) if lengths is not None
+                  else np.int32(length))
 
     key = (id(apply_fn), id(config), spec, norm, window, stride, num_sources)
     entry = _EVAL_CACHE.get(key)
@@ -189,5 +202,5 @@ def evaluate_utterance(
                             num_sources)
         entry = (jax.jit(fn), apply_fn, config)
         _EVAL_CACHE[key] = entry
-    enhanced = entry[0](variables, padded, np.int32(length))
+    enhanced = entry[0](variables, padded, length_arg)
     return np.asarray(enhanced)[..., :length]

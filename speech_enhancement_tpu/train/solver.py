@@ -32,7 +32,9 @@ from speech_enhancement_tpu.ops.stft import stft_custom
 from speech_enhancement_tpu.train import checkpoints as ckpt
 from speech_enhancement_tpu.train import losses as losses_lib
 from speech_enhancement_tpu.train import metrics as metrics_lib
-from speech_enhancement_tpu.train.evaluate import evaluate_utterance
+from speech_enhancement_tpu.train.evaluate import (_BUCKET as _EVAL_BUCKET,
+                                                   _num_windows,
+                                                   evaluate_utterance)
 
 METRIC_HIGHER_BETTER = {"loss": False, "sisdr": True, "stoi": True, "pesq": True}
 
@@ -645,39 +647,91 @@ class Solver:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        pending: list = []  # (name, future), utterance order
+        # batched test-time eval (solver.test.batch_size, default 1 = the
+        # reference's batch-1-per-utterance contract, solver.py:546): pack
+        # window-count-bucket peers into one fixed-shape device batch so
+        # `--mode test` on a real corpus fills the chip instead of running
+        # one utterance's windows at a time. Groups are keyed by the padded
+        # window-count bucket and padded to a FIXED batch (rows repeat the
+        # last utterance) so there is exactly one executable per bucket.
+        # Per-utterance masked statistics keep every row's normalization
+        # that of its own samples; results are bit-identical to the batch-1
+        # path (asserted by tests/test_eval_batched.py) and rows are emitted
+        # in loader order.
+        eval_batch = max(1, int(cfg.get("batch_size", 1)))
+        num_sources = int(self.config.model.get("num_spk", 1))
+        window = int(self.config.dset.sample_rate * self.config.model.segment)
+        stride = int(self.config.model.win_length)
+
+        pending: dict = {}  # step -> (name, future)
+        next_emit = 0
+
+        def _drain(everything: bool) -> None:
+            nonlocal next_emit
+            # emit rows strictly in loader order; block only when asked or
+            # when the head is done (scoring overlaps the device compute)
+            while next_emit in pending and (
+                    everything or len(pending) > 2 * eval_batch
+                    or pending[next_emit][1].done()):
+                _consume(*pending.pop(next_emit))
+                next_emit += 1
+
+        def _flush(group, pool) -> None:
+            rows = len(group)
+            if rows == 0:
+                return
+            t_max = max(item["mixture"].shape[-1] for _, item in group)
+            channels = group[0][1]["mixture"].shape[0]
+            mix = np.zeros((eval_batch, channels, t_max), np.float32)
+            lengths = np.zeros(eval_batch, np.int32)
+            for b, (_, item) in enumerate(group):
+                t_b = item["mixture"].shape[-1]
+                mix[b, :, :t_b] = item["mixture"]
+                lengths[b] = t_b
+            # pad the batch dim with the last row so every bucket uses one
+            # fixed [eval_batch, C, total] executable; extras are dropped
+            for b in range(rows, eval_batch):
+                mix[b] = mix[rows - 1]
+                lengths[b] = lengths[rows - 1]
+            enhanced = evaluate_utterance(
+                mix, apply_eval, variables, self.spec, self.config,
+                num_sources=num_sources, lengths=lengths,
+            )
+            if self.spec.multi_speaker:
+                enhanced = enhanced[:, 0]  # score the target-speaker estimate
+            for b, (step, item) in enumerate(group):
+                t_b = int(lengths[b])
+                enhanced_np = enhanced[b:b + 1, ..., :t_b]
+                mixture_np = np.asarray(item["mixture"])[None]
+                clean = np.asarray(item["sources"][0])[None]
+                if step < int(cfg.get("num_show", 0)):
+                    self.spec_audio_visualization(
+                        mixture_np[0], enhanced_np[0], clean[0],
+                        item["name"], step)
+                pending[step] = (item["name"], pool.submit(
+                    _score_utterance, clean, enhanced_np, mixture_np,
+                    item["name"]))
+
+        groups: dict = {}  # window-count bucket -> [(step, item), ...]
         with ThreadPoolExecutor(max_workers=2) as pool:
             for step, item in enumerate(self.test_loader):
                 if limit is not None and step >= limit:
                     break
                 # numpy in, numpy out: evaluate_utterance pads host-side,
-                # runs ONE jitted executable per window-count bucket, and
+                # runs ONE jitted executable per (batch, bucket), and
                 # fetches — the device queue never holds an eager-op backlog
-                # (the remote-TPU transport drains those at minutes/utterance,
-                # NOTES_DEV.md round 4)
-                mixture = np.asarray(item["mixture"])[None]  # [1, C, T]
-                clean = np.asarray(item["sources"][0])[None]  # [1, C, T]
-                enhanced = evaluate_utterance(
-                    mixture, apply_eval, variables, self.spec, self.config,
-                    num_sources=int(self.config.model.get("num_spk", 1)),
-                )
-                if self.spec.multi_speaker:
-                    enhanced = enhanced[:, 0]  # score the target-speaker estimate
-                enhanced_np = enhanced
-                mixture_np = mixture
-                if step < int(cfg.get("num_show", 0)):
-                    self.spec_audio_visualization(
-                        mixture_np[0], enhanced_np[0], clean[0], item["name"], step
-                    )
-                pending.append((item["name"], pool.submit(
-                    _score_utterance, clean, enhanced_np, mixture_np,
-                    item["name"])))
-                # bound memory: drain finished heads so at most ~8 utterances
-                # of audio are held by in-flight scoring tasks
-                while len(pending) > 8:
-                    _consume(*pending.pop(0))
-            for entry in pending:
-                _consume(*entry)
+                # (the remote-TPU transport drains those at minutes per
+                # utterance, NOTES_DEV.md round 4)
+                n_win = _num_windows(item["mixture"].shape[-1], window,
+                                     stride)
+                bucket = -(-n_win // _EVAL_BUCKET)
+                groups.setdefault(bucket, []).append((step, item))
+                if len(groups[bucket]) >= eval_batch:
+                    _flush(groups.pop(bucket), pool)
+                _drain(everything=False)
+            for bucket in sorted(groups):
+                _flush(groups.pop(bucket), pool)
+            _drain(everything=True)
 
         summary = {
             side: {k: float(np.mean(v)) for k, v in vals.items() if v}
