@@ -31,13 +31,17 @@ except Exception:
 BATCH, SECONDS, SR, SCAN = 16, 4, 16000, 8
 
 
-def bench(config_name: str, batch: int = BATCH):
+def bench(config_name: str, batch: int = BATCH, overrides=None):
     from speech_enhancement_tpu.config import load_config
     from speech_enhancement_tpu.models import build_model
     from speech_enhancement_tpu.ops.stft import stft_custom
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(os.path.join(root, "configs", f"{config_name}.yaml"))
+    for k, v in (overrides or {}).items():
+        setattr(cfg.model, k, v)
+    if overrides:
+        config_name += "+" + ",".join(f"{k}:{v}" for k, v in overrides.items())
     model, spec = build_model(cfg.model)
     channels = int(cfg.dset.get("audio_channels", 1))
     n_spk = max(1, int(cfg.model.get("num_spk", 1)))
@@ -128,6 +132,13 @@ def bench(config_name: str, batch: int = BATCH):
 
 
 if __name__ == "__main__":
+    # arg grammar: name[+model_key:value ...][=batch]
+    # e.g. crn_vbd+fused_rnn:true=16 benches crn with the Pallas LSTM path.
     for arg in sys.argv[1:] or ["conv_tasnet_clarity", "dcunet_vbd", "crn_vbd"]:
-        name, _, b = arg.partition("=")
-        bench(name, int(b) if b else BATCH)
+        spec_str, _, b = arg.partition("=")
+        name, *kvs = spec_str.split("+")
+        overrides = {}
+        for kv in kvs:
+            k, _, v = kv.partition(":")
+            overrides[k] = {"true": True, "false": False}.get(v.lower(), v)
+        bench(name, int(b) if b else BATCH, overrides)
