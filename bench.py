@@ -11,24 +11,27 @@ kernel_num [16,32,64,128,256,256]).
 
 Configuration benched = the framework's TPU fast path:
   * bf16 compute (f32 params/accumulations),
-  * remat'd encoder/decoder blocks (recompute beats saved-activation HBM
-    traffic on this elementwise-heavy model: 122.5 -> 106.6 ms/step),
-  * named-saves remat policy "conv_out,cbn_stats" (save conv outputs and
-    the tiny per-channel CBN stat vectors; the backward recompute skips
-    the convs and the big stat reductions),
+  * NO remat (round 5): the r4 per-op trace showed the batch-128 step is
+    elementwise-HBM-traffic bound (53% of device time in ~1.3 ms fusions;
+    convs are 8%), so the remat recompute's EXTRA elementwise passes cost
+    more than the saved residuals buy — and since the r4 split-weight
+    skip join freed the decoder concat temps, the no-remat step fits the
+    16 GB HBM at batch 128 again. Measured (tools/bench_batch_sweep.py,
+    int16 wire): no-remat batch 64/96/112/120/128 -> 378.6/439.7/496.8/
+    504.3/588.5 utt/s/chip vs the r4 remat knee's 491.7; batch 136
+    no-remat did not complete compile+dispatch in 22 min (frontier).
+    Remat remains a model flag for memory-tight configs,
   * stacked [.., 2C] activations between complex blocks (no per-block
     slice/concat copy pairs),
   * solver.steps_per_call=16 — 16 optimizer steps per device dispatch via
     lax.scan (the Solver feature; amortizes the ~30 ms axon relay dispatch
     overhead). Measured ladder: 76.3 (r1 fast path) -> 74.9 (stacked)
-    -> 72.8 (scan16) -> 67.8 (named saves) -> 65.4 ms/step (folded CBN,
-    a win only in combination with the named-saves policy) on v5e,
-  * batch 128 — the sweep knee (tools/bench_batch_sweep.py): r4 post
-    split-weight-skip-join + int16 wire, batch 16/32/64/128 ->
-    244.8/243.8/270.9/491.7 utt/s/chip; batch 144+ OOMs the 16 GB HBM on
-    the saved conv_out residuals. Per-chip throughput is the BASELINE.md
-    metric, so the headline operating point is the sweep winner, not
-    batch 16,
+    -> 72.8 (scan16) -> 67.8 (named saves) -> 65.4 ms/step (folded CBN)
+    at batch 16 on v5e,
+  * batch 128 — the sweep knee (tools/bench_batch_sweep.py) and
+    lane-aligned (128 no-remat is FASTER per step than 120: 217.5 vs
+    238.0 ms). Per-chip throughput is the BASELINE.md metric, so the
+    headline operating point is the sweep winner, not batch 16,
   * int16 wire scan inputs (dset.wire: int16) — resident input stacks
     quarter; decode is one fused multiply inside the step.
 Throughput is total utterances / total wall time; each dispatch is synced
@@ -70,8 +73,7 @@ def main():
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    model = DCCRN(dtype="bfloat16", remat=True,
-                  remat_policy="conv_out,cbn_stats", cbn_fold=True)
+    model = DCCRN(dtype="bfloat16", remat=False, cbn_fold=True)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
 
     t_samples = SECONDS * SR

@@ -25,6 +25,19 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# reuse the repo's persistent compile cache (bench.py populates it with the
+# exact bench-point program; without this, tracing recompiles everything
+# cold through the remote compile service)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def build_bench_point(batch=128, steps_per_call=16):
     """The EXACT bench.py operating point: bf16 DCCRN, remat named-saves
@@ -45,7 +58,7 @@ def build_bench_point(batch=128, steps_per_call=16):
     k1, k2, k3 = jax.random.split(key, 3)
     mixture = jax.random.normal(k1, (batch, 1, 64000)) * 0.1
     target = jax.random.normal(k2, (batch, 1, 64000)) * 0.1
-    variables = model.init(k3, mixture)
+    variables = jax.jit(model.init)(k3, mixture)  # ONE program, no eager backlog
     state = {
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
@@ -118,7 +131,7 @@ def build_step(remat=False, save=False, fold=False, fused=False,
     target = jax.random.normal(k2, (batch, 1, 64000)) * 0.1
     if model_name == "sepformer":  # multi-speaker wav contract [B, S, C, T]
         target = target[:, None]
-    variables = model.init(k3, mixture)
+    variables = jax.jit(model.init)(k3, mixture)
     state = {
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
@@ -148,14 +161,86 @@ def build_step(remat=False, save=False, fold=False, fused=False,
     return train_step, state, mixture, target
 
 
+def build_config_step(config_name: str, batch: int = 16, overrides=None):
+    """Generic per-config step builder (same protocol as bench_zoo_steps:
+    batch x 4 s @ 16 kHz, fwd+bwd+clip+Adam, shipped MODEL section).
+    Lets any zoo family get the per-op trace treatment (unet/wav-unet,
+    reference src/model/unet.py:89-146, wav_unet.py:85-105)."""
+    from speech_enhancement_tpu.config import load_config
+    from speech_enhancement_tpu.models import build_model
+    from speech_enhancement_tpu.ops.stft import stft_custom
+    from speech_enhancement_tpu.train.losses import mse_loss
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", f"{config_name}.yaml"))
+    for k, v in (overrides or {}).items():
+        setattr(cfg.model, k, v)
+    model, spec = build_model(cfg.model)
+    channels = int(cfg.dset.get("audio_channels", 1))
+    n_spk = max(1, int(cfg.model.get("num_spk", 1)))
+    sr, seconds = 16000, 4
+
+    wav = jax.random.normal(jax.random.PRNGKey(0),
+                            (batch, channels, sr * seconds)) * 0.1
+    target_wav = wav * 0.9
+    if spec.domain == "stft":
+        inputs = stft_custom(wav, cfg.model)
+        target = stft_custom(
+            target_wav if spec.monarch
+            else jnp.broadcast_to(target_wav[:, None],
+                                  (batch, n_spk, channels, sr * seconds)),
+            cfg.model)
+    else:
+        inputs = wav
+        target = (target_wav if spec.monarch
+                  else jnp.broadcast_to(target_wav[:, None],
+                                        (batch, n_spk, channels, sr * seconds)))
+
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(1),
+                                    "dropout": jax.random.PRNGKey(2)}, inputs)
+    optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
+    state = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {}),
+             "opt_state": optimizer.init(variables["params"])}
+
+    @jax.jit
+    def train_step(state, rng, inputs, target):
+        def loss_of(p):
+            vs = {"params": p}
+            if state["batch_stats"]:
+                vs["batch_stats"] = state["batch_stats"]
+            out = model.apply(
+                vs, inputs, train=True,
+                mutable=["batch_stats"] if state["batch_stats"] else [],
+                rngs={"dropout": rng})
+            out, mut = out if isinstance(out, tuple) else (out, {})
+            t = target
+            if hasattr(out, "shape") and out.shape != t.shape:
+                t = jnp.broadcast_to(t.reshape(t.shape[0], -1)[:, :1], out.shape)
+            stats = (mut.get("batch_stats", state["batch_stats"])
+                     if mut else state["batch_stats"])
+            return mse_loss(out, t), stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state["params"])
+        updates, new_opt = optimizer.update(grads, state["opt_state"],
+                                            state["params"])
+        return ({"params": optax.apply_updates(state["params"], updates),
+                 "batch_stats": new_stats, "opt_state": new_opt}, loss)
+
+    return train_step, state, inputs, target
+
+
 def categorize(name: str) -> str:
-    if name.startswith("fusion") or ".fusion" in name:
-        return "fusion(elementwise)"
-    if "custom-call" in name or "tpu_custom_call" in name:
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n:
         return "pallas"
-    for key in ("conv", "scan", "reduce", "dot", "transpose", "copy", "dynamic"):
-        if key in name:
+    for key in ("conv", "dot", "reduce", "dynamic", "copy", "transpose",
+                "pad", "reverse", "rng", "scatter", "select"):
+        if key in n:
             return key
+    if "fusion" in n:
+        return "fusion(elementwise)"
     return "other"
 
 
@@ -168,7 +253,10 @@ def main():
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--fold", action="store_true")
     parser.add_argument("--fused", action="store_true")
-    parser.add_argument("--model", default="dccrn", choices=["dccrn", "sepformer"])
+    parser.add_argument("--model", default="dccrn",
+                        help="dccrn | sepformer | any configs/<name>.yaml "
+                             "(generic per-config trace; append "
+                             "+key:value model overrides)")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--bench-point", action="store_true",
                         help="profile the exact bench.py operating point "
@@ -180,6 +268,14 @@ def main():
         batch = args.batch if args.batch != 16 else 128
         train_step, state, mixture, target, steps_per_dispatch = (
             build_bench_point(batch=batch))
+    elif args.model not in ("dccrn", "sepformer"):
+        name, *kvs = args.model.split("+")
+        overrides = {}
+        for kv in kvs:
+            k, _, v = kv.partition(":")
+            overrides[k] = {"true": True, "false": False}.get(v.lower(), v)
+        train_step, state, mixture, target = build_config_step(
+            name, batch=args.batch, overrides=overrides)
     else:
         train_step, state, mixture, target = build_step(
             remat=args.remat, save=args.save, fold=args.fold,
@@ -199,31 +295,71 @@ def main():
     paths = sorted(glob.glob(os.path.join(args.outdir, "plugins/profile/*/*.trace.json.gz")))
     path = paths[-1]
     data = json.loads(gzip.open(path).read())
-    events = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
-    # keep only TPU device-thread events (they carry HLO names)
-    by_name = collections.defaultdict(float)
-    pids = {}
+    # The device trace has separate named threads: "XLA Modules" (one event
+    # per dispatched executable — gives makespan + the true step divisor;
+    # the profiler window can clip dispatches, so COUNT them rather than
+    # trusting the loop count), "XLA Ops" (leaf HLO ops — the per-op data),
+    # and "Steps" (markers). Container events (the jit_* module span and
+    # lax.scan/while loop bodies) also appear in "XLA Ops" and must be
+    # excluded or every leaf is double-counted.
+    pids, tids = {}, {}
     for item in data.get("traceEvents", []):
-        if item.get("ph") == "M" and item.get("name") == "process_name":
-            pids[item["pid"]] = item["args"].get("name", "")
-    device_pids = {p for p, n in pids.items() if "TPU" in n or "/device" in n.lower()}
-    for e in events:
-        if device_pids and e.get("pid") not in device_pids:
+        if item.get("ph") != "M":
             continue
-        by_name[e["name"]] += e.get("dur", 0)
+        if item.get("name") == "process_name":
+            pids[item["pid"]] = item["args"].get("name", "")
+        if item.get("name") == "thread_name":
+            tids[(item["pid"], item.get("tid"))] = item["args"].get("name", "")
+
+    def device_threads(label):
+        return {k for k, n in tids.items()
+                if n == label and "TPU" in pids.get(k[0], "")}
+
+    ops_threads = device_threads("XLA Ops")
+    mod_threads = device_threads("XLA Modules")
+    events = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
+    modules = sorted(
+        (e["ts"], e["dur"], e["name"]) for e in events
+        if (e["pid"], e.get("tid")) in mod_threads and e.get("dur", 0) > 0)
+    # the timed program is the repeated module; count its occurrences for
+    # the per-step divisor (clipped windows capture fewer than requested)
+    mod_names = collections.Counter(m[2] for m in modules)
+    main_mod, n_dispatch = mod_names.most_common(1)[0]
+    n_steps = n_dispatch * steps_per_dispatch
+    makespan = sum(d for _, d, n in modules if n == main_mod) / 1000 / n_steps
+    gaps = [modules[i + 1][0] - (modules[i][0] + modules[i][1])
+            for i in range(len(modules) - 1)
+            if modules[i][2] == main_mod and modules[i + 1][2] == main_mod]
+
+    by_name = collections.defaultdict(float)
+    container = 0.0
+    for e in events:
+        if (e["pid"], e.get("tid")) not in ops_threads:
+            continue
+        name = e["name"]
+        if name.startswith(("jit_", "while")) or name.isdigit():
+            container += e.get("dur", 0)  # scan/while spans cover their leaves
+            continue
+        by_name[name] += e.get("dur", 0)
 
     total = sum(by_name.values())
     print(f"trace: {path}")
-    print(f"total device-event time: {total/1000/args.steps:.2f} ms/step over {args.steps} steps")
+    print(f"dispatches captured: {n_dispatch} x {steps_per_dispatch} steps; "
+          f"module makespan {makespan:.2f} ms/step"
+          + (f"; inter-dispatch gap {sum(gaps)/len(gaps)/1000:.1f} ms"
+             if gaps else ""))
+    print(f"leaf-op device time: {total/1000/n_steps:.2f} ms/step "
+          f"({100 * (total / 1000 / n_steps) / makespan:.1f}% of makespan; "
+          f"rest is in-loop scheduling gaps)")
     cats = collections.defaultdict(float)
     for name, dur in by_name.items():
         cats[categorize(name)] += dur
-    print("\n== by category (ms/step) ==")
+    print("\n== leaf ops by category (ms/step) ==")
     for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:24s} {dur/1000/args.steps:8.2f}")
-    print(f"\n== top {args.top} ops (ms/step) ==")
+        print(f"  {cat:24s} {dur/1000/n_steps:8.2f}  ({100*dur/total:5.1f}%)")
+    print(f"\n== top {args.top} leaf ops (ms/step) ==")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"  {dur/1000/args.steps:8.3f}  {name[:140]}")
+        print(f"  {dur/1000/n_steps:8.3f}  {name[:140]}")
 
 
 if __name__ == "__main__":
