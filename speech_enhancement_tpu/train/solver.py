@@ -584,8 +584,11 @@ class Solver:
         # the reference scores every test utterance with {stoi, pesq, sisdr}
         # (solver.py:190-192, applied at 704-721); pesq is None only when
         # neither the wheel nor the native fallback (train/pesq_native.py)
-        # is available
-        include = ("sisdr", "stoi", "pesq")
+        # is available. `solver.test.metrics` can narrow the set (e.g.
+        # [sisdr] for throughput work / smoke evals on a weak host — the
+        # host-side STOI/PESQ scoring is the eval bottleneck on few-core
+        # machines); the default is the full reference contract.
+        include = tuple(cfg.get("metrics", ("sisdr", "stoi", "pesq")))
 
         def _score_utterance(clean, enhanced_np, mixture_np, name):
             """Host-side scoring, run OFF the device critical path: while a
@@ -636,8 +639,8 @@ class Solver:
                 return
             results.add_result(
                 name,
-                sisdr_enhance=m_enh["sisdr"], sisdr_mixture=m_mix["sisdr"],
-                stoi_enhance=m_enh["stoi"], stoi_mixture=m_mix["stoi"],
+                sisdr_enhance=m_enh.get("sisdr"), sisdr_mixture=m_mix.get("sisdr"),
+                stoi_enhance=m_enh.get("stoi"), stoi_mixture=m_mix.get("stoi"),
                 pesq_enhance=m_enh.get("pesq"), pesq_mixture=m_mix.get("pesq"),
                 haspi_enhance=_ha_col("haspi_enhance"),
                 haspi_mixture=_ha_col("haspi_mixture"),
@@ -676,21 +679,35 @@ class Solver:
                 _consume(*pending.pop(next_emit))
                 next_emit += 1
 
-        def _flush(group, pool) -> None:
+        # cap the TOTAL windows per packed dispatch: under the reference's
+        # stride==win_length eval protocol a long utterance is already a
+        # big window batch on its own (10 s ≈ 188 windows of 4 s), and
+        # utterance-packing multiplies it — 8 × 10 s utterances lowered to
+        # a 36 GB eval program on the 16 GB chip. Short utterances (few
+        # windows) keep the full eval_batch; long ones degrade gracefully
+        # toward the batch-1 contract.
+        max_windows = max(_EVAL_BUCKET, int(cfg.get("max_windows", 256)))
+
+        def _pack(bucket: int) -> int:
+            return max(1, min(eval_batch,
+                              max_windows // (bucket * _EVAL_BUCKET)))
+
+        def _flush(bucket, group, pool) -> None:
             rows = len(group)
             if rows == 0:
                 return
+            pack = _pack(bucket)
             t_max = max(item["mixture"].shape[-1] for _, item in group)
             channels = group[0][1]["mixture"].shape[0]
-            mix = np.zeros((eval_batch, channels, t_max), np.float32)
-            lengths = np.zeros(eval_batch, np.int32)
+            mix = np.zeros((pack, channels, t_max), np.float32)
+            lengths = np.zeros(pack, np.int32)
             for b, (_, item) in enumerate(group):
                 t_b = item["mixture"].shape[-1]
                 mix[b, :, :t_b] = item["mixture"]
                 lengths[b] = t_b
             # pad the batch dim with the last row so every bucket uses one
-            # fixed [eval_batch, C, total] executable; extras are dropped
-            for b in range(rows, eval_batch):
+            # fixed [pack, C, total] executable; extras are dropped
+            for b in range(rows, pack):
                 mix[b] = mix[rows - 1]
                 lengths[b] = lengths[rows - 1]
             enhanced = evaluate_utterance(
@@ -726,11 +743,11 @@ class Solver:
                                      stride)
                 bucket = -(-n_win // _EVAL_BUCKET)
                 groups.setdefault(bucket, []).append((step, item))
-                if len(groups[bucket]) >= eval_batch:
-                    _flush(groups.pop(bucket), pool)
+                if len(groups[bucket]) >= _pack(bucket):
+                    _flush(bucket, groups.pop(bucket), pool)
                 _drain(everything=False)
             for bucket in sorted(groups):
-                _flush(groups.pop(bucket), pool)
+                _flush(bucket, groups.pop(bucket), pool)
             _drain(everything=True)
 
         summary = {

@@ -38,6 +38,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--utterances", type=int, default=24)
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--eval-batch", type=int, default=1,
+                    help="solver.test.batch_size: >1 packs windows from "
+                         "several utterances into one fixed-shape device "
+                         "batch (results bit-identical to batch-1; "
+                         "tests/test_eval_batched.py)")
+    ap.add_argument("--metrics", default=None,
+                    help="comma list to narrow solver.test.metrics (e.g. "
+                         "'sisdr' isolates the device pipeline from the "
+                         "host STOI/PESQ scoring, the 1-core bottleneck)")
     args = ap.parse_args()
 
     from speech_enhancement_tpu.config import Config, with_defaults
@@ -70,7 +79,9 @@ def main():
         "solver": {
             "root": run_root, "epochs": 0, "batch_size": 2,
             "test": {"total_steps": 0, "interval": 1, "num_show": 0,
-                     "metric": "sisdr"},
+                     "metric": "sisdr", "batch_size": args.eval_batch,
+                     **({"metrics": args.metrics.split(",")}
+                        if args.metrics else {})},
         },
     }))
 
