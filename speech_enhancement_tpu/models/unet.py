@@ -25,16 +25,26 @@ class _DoubleConv(nn.Module):
     features: int
     mid_features: int | None = None
     dropout: float = 0.0
+    dtype: object = jnp.float32  # conv/activation compute dtype (bf16 knob)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         mid = self.mid_features or self.features
-        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
-        x = nn.leaky_relu(x, negative_slope=0.01)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(x)
-        x = nn.leaky_relu(x, negative_slope=0.01)
+        # convs + activations run in the compute dtype; BatchNorm stats
+        # stay f32 (flax promotes) — the r5 per-op trace showed this model
+        # is elementwise/reduce-traffic bound, so halving activation bytes
+        # is the lever (docs/RESULTS.md 3b-addendum-2)
+        x = x.astype(self.dtype)
+        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="bn1")(x)
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="bn2")(x)
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         if self.dropout:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -58,6 +68,7 @@ class UNet(nn.Module):
     unet_channels: int = 1
     unet_layer: int = 4
     bilinear: bool = False
+    dtype: str = "float32"  # compute dtype for convs/activations
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -76,12 +87,14 @@ class UNet(nn.Module):
             x = _DoubleConv(
                 channels[n + 1],
                 dropout=0.0 if n < self.unet_layer - 1 else 0.5,
+                dtype=jnp.dtype(self.dtype),
                 name=f"down_{n}",
             )(x, train)
             x = _maxpool2(x)
             skips.append(x)
 
-        x = _DoubleConv(channels[-1], dropout=0.5, name="middle")(x, train)
+        x = _DoubleConv(channels[-1], dropout=0.5,
+                        dtype=jnp.dtype(self.dtype), name="middle")(x, train)
 
         rev = channels[::-1]
         for n in range(self.unet_layer):
@@ -93,6 +106,7 @@ class UNet(nn.Module):
             x = _DoubleConv(
                 rev[n + 1],
                 mid_features=rev[n] // 2 if self.bilinear else None,
+                dtype=jnp.dtype(self.dtype),
                 name=f"dec_{n}",
             )(x, train)
 
@@ -104,10 +118,11 @@ class UNet(nn.Module):
         x = _DoubleConv(
             self.unet_channels,
             mid_features=rev[-2] // 2 if self.bilinear else None,
+            dtype=jnp.dtype(self.dtype),
             name="dec_out",
         )(x, train)
 
-        mask = jnp.moveaxis(x, -1, 1)  # [B, C, F, T]
+        mask = jnp.moveaxis(x, -1, 1).astype(mix.dtype)  # [B, C, F, T]
         return mix * mask[..., None]
 
     def _up(self, x: jnp.ndarray, in_channels: int, train: bool, name: str) -> jnp.ndarray:
@@ -128,5 +143,6 @@ class UNet(nn.Module):
 
             return up1d(up1d(x, 1), 2)
         return nn.ConvTranspose(
-            in_channels // 2, (2, 2), strides=(2, 2), padding="VALID", name=name
+            in_channels // 2, (2, 2), strides=(2, 2), padding="VALID",
+            dtype=jnp.dtype(self.dtype), name=name
         )(x)

@@ -32,12 +32,18 @@ def _linear_upsample2(x: jnp.ndarray) -> jnp.ndarray:
 class _ConvBlock(nn.Module):
     features: int
     kernel: int
+    dtype: object = jnp.float32  # conv/activation compute dtype (bf16 knob)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(self.features, (self.kernel,), padding=self.kernel // 2, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
-        return nn.leaky_relu(x, negative_slope=0.1)
+        # conv + activation in the compute dtype; BatchNorm stats stay f32
+        # (the r5 per-op trace: 76% of this model's step is elementwise
+        # HBM passes, so halving activation bytes is the lever)
+        x = nn.Conv(self.features, (self.kernel,), padding=self.kernel // 2,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="bn")(x)
+        return nn.leaky_relu(x, negative_slope=0.1).astype(self.dtype)
 
 
 class WavUNet(nn.Module):
@@ -45,6 +51,7 @@ class WavUNet(nn.Module):
 
     unet_nlayers: int = 12
     channels_interval: int = 24
+    dtype: str = "float32"  # compute dtype for convs/activations
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -58,25 +65,28 @@ class WavUNet(nn.Module):
         pad = (-length) % block
         if pad:
             wav = jnp.pad(wav, ((0, 0), (0, 0), (0, pad)))
-        x = jnp.swapaxes(wav, 1, 2)  # [B, T, C]
+        x = jnp.swapaxes(wav, 1, 2).astype(jnp.dtype(self.dtype))  # [B, T, C]
         inp = x
 
         skips = []
         for i in range(self.unet_nlayers):
-            x = _ConvBlock((i + 1) * self.channels_interval, 15, name=f"enc_{i}")(x, train)
+            x = _ConvBlock((i + 1) * self.channels_interval, 15,
+                           dtype=jnp.dtype(self.dtype), name=f"enc_{i}")(x, train)
             skips.append(x)
             x = x[:, ::2, :]  # stride-2 decimation
 
-        x = _ConvBlock(self.unet_nlayers * self.channels_interval, 15, name="middle")(x, train)
+        x = _ConvBlock(self.unet_nlayers * self.channels_interval, 15,
+                       dtype=jnp.dtype(self.dtype), name="middle")(x, train)
 
         for i in range(self.unet_nlayers):
             x = _linear_upsample2(x)
             x = jnp.concatenate([x, skips[self.unet_nlayers - i - 1]], axis=-1)
             x = _ConvBlock(
-                (self.unet_nlayers - i) * self.channels_interval, 5, name=f"dec_{i}"
+                (self.unet_nlayers - i) * self.channels_interval, 5,
+                dtype=jnp.dtype(self.dtype), name=f"dec_{i}"
             )(x, train)
 
         x = jnp.concatenate([x, inp], axis=-1)
         x = nn.Conv(1, (1,), name="out")(x)
-        x = jnp.tanh(x)
+        x = jnp.tanh(x.astype(jnp.float32))  # head/output stay f32
         return jnp.swapaxes(x, 1, 2)[..., :length]  # [B, 1, T]

@@ -321,10 +321,16 @@ def main():
     modules = sorted(
         (e["ts"], e["dur"], e["name"]) for e in events
         if (e["pid"], e.get("tid")) in mod_threads and e.get("dur", 0) > 0)
-    # the timed program is the repeated module; count its occurrences for
-    # the per-step divisor (clipped windows capture fewer than requested)
-    mod_names = collections.Counter(m[2] for m in modules)
-    main_mod, n_dispatch = mod_names.most_common(1)[0]
+    # the timed program is the module with the largest TOTAL device time
+    # (tiny jit_ravel/fetch modules outnumber it); count its occurrences
+    # for the per-step divisor (clipped windows capture fewer than asked)
+    mod_time = collections.defaultdict(float)
+    mod_names = collections.Counter()
+    for _, dur, name in modules:
+        mod_time[name] += dur
+        mod_names[name] += 1
+    main_mod = max(mod_time, key=mod_time.get)
+    n_dispatch = mod_names[main_mod]
     n_steps = n_dispatch * steps_per_dispatch
     makespan = sum(d for _, d, n in modules if n == main_mod) / 1000 / n_steps
     gaps = [modules[i + 1][0] - (modules[i][0] + modules[i][1])
