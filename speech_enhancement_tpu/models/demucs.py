@@ -63,6 +63,9 @@ class BLSTM(nn.Module):
     layers: int = 1
     max_steps: Optional[int] = None
     skip: bool = False
+    # resident-weight Pallas LSTM recurrence (ops/pallas/lstm.py; gated to
+    # the TPU backend + lane-aligned dim inside LSTMLayer)
+    fused: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +85,10 @@ class BLSTM(nn.Module):
 
         h = x
         for layer in range(self.layers):
-            fwd, _ = LSTMLayer(self.dim, name=f"l{layer}_fwd")(h)
-            bwd, _ = LSTMLayer(self.dim, reverse=True, name=f"l{layer}_bwd")(h)
+            fwd, _ = LSTMLayer(self.dim, fused=self.fused,
+                               name=f"l{layer}_fwd")(h)
+            bwd, _ = LSTMLayer(self.dim, reverse=True, fused=self.fused,
+                               name=f"l{layer}_bwd")(h)
             h = jnp.concatenate([fwd, bwd], axis=-1)
         h = nn.Dense(self.dim, name="linear")(h)
 
@@ -168,6 +173,7 @@ class DConv(nn.Module):
     lstm: bool = False
     kernel: int = 3
     dtype: object = None
+    fused_rnn: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -183,7 +189,8 @@ class DConv(nn.Module):
                 y = nn.GroupNorm(num_groups=1, name=f"d{d}_norm1")(y)
             y = nn.gelu(y)
             if self.lstm:
-                y = BLSTM(hidden, layers=2, max_steps=200, skip=True, name=f"d{d}_lstm")(y)
+                y = BLSTM(hidden, layers=2, max_steps=200, skip=True,
+                          fused=self.fused_rnn, name=f"d{d}_lstm")(y)
             if self.attn:
                 y = LocalState(hidden, heads=self.heads, ndecay=self.ndecay,
                                name=f"d{d}_attn")(y)
@@ -224,6 +231,9 @@ class Demucs(nn.Module):
     rescale: float = 0.1
     # compute dtype for convs/LSTM ("bfloat16" = TPU fast path); params f32
     dtype: str = "float32"
+    # resident-weight Pallas recurrence for the DConv/bottleneck BLSTMs
+    # (hidden dims 256/512 at the shipped config are lane-aligned)
+    fused_rnn: object = False
     # rematerialize each encoder/decoder layer in the backward pass: at
     # 510 MB params the saved activations of batch 16 x 4 s exceed one
     # v5e chip's 16 GB HBM without it. Param names are unchanged (the
@@ -277,7 +287,7 @@ class Demucs(nn.Module):
 
         if self.lstm_layers:
             x = BLSTM(self._enc_channels()[-1], layers=self.lstm_layers,
-                      name="lstm")(x)
+                      fused=self.fused_rnn, name="lstm")(x)
 
         for index in range(self.depth - 1, -1, -1):
             skip = center_trim(saved.pop(-1), x.shape[1], axis=1)
@@ -317,6 +327,7 @@ class Demucs(nn.Module):
                 channels, compress=self.dconv_comp, depth=self.dconv_depth,
                 init=self.dconv_init, attn=index >= self.dconv_attn,
                 lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                fused_rnn=self.fused_rnn,
                 name=f"enc_{index}_dconv",
             )(x)
         if self.rewrite:
@@ -354,6 +365,7 @@ class Demucs(nn.Module):
                 channels, compress=self.dconv_comp, depth=self.dconv_depth,
                 init=self.dconv_init, attn=index >= self.dconv_attn,
                 lstm=index >= self.dconv_lstm, dtype=compute_dtype,
+                fused_rnn=self.fused_rnn,
                 name=f"dec_{index}_dconv",
             )(x)
         x = nn.ConvTranspose(out_channels, (self.kernel_size,),
