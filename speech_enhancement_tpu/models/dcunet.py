@@ -59,11 +59,11 @@ class _Pair:
     """Helper treating (real, imag) pairs uniformly for real/complex paths."""
 
     @staticmethod
-    def conv(features, kernel, stride, pad, name):
+    def conv(features, kernel, stride, pad, name, dtype=None):
         conv_r = nn.Conv(features, kernel, stride, [(pad[0], pad[0]), (pad[1], pad[1])],
-                         name=f"{name}_r")
+                         dtype=dtype, name=f"{name}_r")
         conv_i = nn.Conv(features, kernel, stride, [(pad[0], pad[0]), (pad[1], pad[1])],
-                         name=f"{name}_i")
+                         dtype=dtype, name=f"{name}_i")
         return conv_r, conv_i
 
 
@@ -72,15 +72,22 @@ class _ComplexEncoderBlock(nn.Module):
     kernel: Tuple[int, int]
     stride: Tuple[int, int]
     pad: Tuple[int, int]
+    dtype: object = None  # conv/activation compute dtype; BN stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
-        conv_r, conv_i = _Pair.conv(self.features, self.kernel, self.stride, self.pad, "conv")
+        if self.dtype is not None:
+            xr, xi = xr.astype(self.dtype), xi.astype(self.dtype)
+        conv_r, conv_i = _Pair.conv(self.features, self.kernel, self.stride,
+                                    self.pad, "conv", dtype=self.dtype)
         yr = conv_r(xr) - conv_i(xi)
         yi = conv_r(xi) + conv_i(xr)
         yr, yi = ComplexBatchNormSimple(name="bn")((yr, yi), use_running_average=not train)
-        return nn.leaky_relu(yr, 0.01), nn.leaky_relu(yi, 0.01)
+        yr, yi = nn.leaky_relu(yr, 0.01), nn.leaky_relu(yi, 0.01)
+        if self.dtype is not None:
+            yr, yi = yr.astype(self.dtype), yi.astype(self.dtype)
+        return yr, yi
 
 
 class _ComplexDecoderBlock(nn.Module):
@@ -88,12 +95,17 @@ class _ComplexDecoderBlock(nn.Module):
     kernel: Tuple[int, int]
     stride: Tuple[int, int]
     pad: Tuple[int, int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         xr, xi = x
-        tconv_r = nn.ConvTranspose(self.features, self.kernel, self.stride, "VALID", name="tconv_r")
-        tconv_i = nn.ConvTranspose(self.features, self.kernel, self.stride, "VALID", name="tconv_i")
+        if self.dtype is not None:
+            xr, xi = xr.astype(self.dtype), xi.astype(self.dtype)
+        tconv_r = nn.ConvTranspose(self.features, self.kernel, self.stride,
+                                   "VALID", dtype=self.dtype, name="tconv_r")
+        tconv_i = nn.ConvTranspose(self.features, self.kernel, self.stride,
+                                   "VALID", dtype=self.dtype, name="tconv_i")
 
         def crop(y):
             p0, p1 = self.pad
@@ -102,7 +114,10 @@ class _ComplexDecoderBlock(nn.Module):
         yr = crop(tconv_r(xr) - tconv_i(xi))
         yi = crop(tconv_r(xi) + tconv_i(xr))
         yr, yi = ComplexBatchNormSimple(name="bn")((yr, yi), use_running_average=not train)
-        return nn.leaky_relu(yr, 0.01), nn.leaky_relu(yi, 0.01)
+        yr, yi = nn.leaky_relu(yr, 0.01), nn.leaky_relu(yi, 0.01)
+        if self.dtype is not None:
+            yr, yi = yr.astype(self.dtype), yi.astype(self.dtype)
+        return yr, yi
 
 
 def _fit(x: jnp.ndarray, t: int, f: int) -> jnp.ndarray:
@@ -124,6 +139,9 @@ class DCUnet(nn.Module):
     model_depth: int = 10
     padding_mode: str = "zeros"
     masking_mode: str = "E"
+    # conv/activation compute dtype ("bfloat16" = TPU fast path); params,
+    # BatchNorm stats and the mask head stay f32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -153,12 +171,16 @@ class DCUnet(nn.Module):
         for i in range(model_length):
             skips.append(h)
             h = _ComplexEncoderBlock(
-                enc_ch[i + 1], enc_k[i], enc_s[i], enc_p[i], name=f"enc_{i}"
+                enc_ch[i + 1], enc_k[i], enc_s[i], enc_p[i],
+                dtype=None if self.dtype == "float32" else jnp.dtype(self.dtype),
+                name=f"enc_{i}",
             )(h, train)
 
         for i in range(model_length):
             h = _ComplexDecoderBlock(
-                dec_ch[i + 1], dec_k[i], dec_s[i], dec_p[i], name=f"dec_{i}"
+                dec_ch[i + 1], dec_k[i], dec_s[i], dec_p[i],
+                dtype=None if self.dtype == "float32" else jnp.dtype(self.dtype),
+                name=f"dec_{i}",
             )(h, train)
             if i == model_length - 1:
                 break
@@ -171,6 +193,8 @@ class DCUnet(nn.Module):
         h = (_fit(h[0], in_t, in_f), _fit(h[1], in_t, in_f))
         lin_r = nn.Conv(1, (1, 1), name="linear_r")
         lin_i = nn.Conv(1, (1, 1), name="linear_i")
+        # mask head in f32 regardless of compute dtype
+        h = (h[0].astype(jnp.float32), h[1].astype(jnp.float32))
         mask_r = jnp.tanh(lin_r(h[0]) - lin_i(h[1]))
         mask_i = jnp.tanh(lin_r(h[1]) + lin_i(h[0]))
         # back to [B, 1, F, T], broadcast over input channels
