@@ -46,8 +46,10 @@ def build(batch: int, steps_per_call: int, model_kwargs=None,
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    kwargs = dict(dtype="bfloat16", remat=True,
-                  remat_policy="conv_out,cbn_stats", cbn_fold=True)
+    # default = the shipped bench.py operating point (r5: remat OFF — see
+    # docs/RESULTS.md §1c); --model-kwargs '{"remat": true, ...}' restores
+    # the r2-r4 remat/named-saves point for comparison sweeps
+    kwargs = dict(dtype="bfloat16", remat=False, cbn_fold=True)
     kwargs.update(model_kwargs or {})
     model = DCCRN(**kwargs)
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
