@@ -40,8 +40,8 @@ except Exception:
 
 
 def build_bench_point(batch=128, steps_per_call=16):
-    """The EXACT bench.py operating point: bf16 DCCRN, remat named-saves
-    conv_out,cbn_stats, folded CBN, int16-wire inputs, scan-16 dispatch.
+    """The EXACT bench.py operating point (r5): bf16 DCCRN, NO remat,
+    folded CBN, int16-wire inputs, scan-16 dispatch.
 
     Returns (fn, args, n_steps_per_dispatch) where fn(*args) -> (state,
     losses); per-op times from a trace divide by steps*steps_per_call.
@@ -51,8 +51,7 @@ def build_bench_point(batch=128, steps_per_call=16):
     from speech_enhancement_tpu.models.dccrn import DCCRN
     from speech_enhancement_tpu.train.losses import mse_loss
 
-    model = DCCRN(dtype="bfloat16", remat=True,
-                  remat_policy="conv_out,cbn_stats", cbn_fold=True)
+    model = DCCRN(dtype="bfloat16", remat=False, cbn_fold=True)  # r5 ship
     optimizer = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-4))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
