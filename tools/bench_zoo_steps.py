@@ -90,8 +90,12 @@ def bench(config_name: str, batch: int = BATCH, overrides=None):
         return ({"params": optax.apply_updates(state["params"], upd),
                  "batch_stats": ns, "opt_state": no}, loss)
 
+    # inputs/target are ARGUMENTS, not closure constants: closed-over
+    # arrays embed in the HLO and ship with every remote-compile request —
+    # big batches then trip the relay's payload cap (HTTP 413) before any
+    # HBM limit is reached
     @jax.jit
-    def scan_steps(state, rng):
+    def scan_steps(state, rng, inputs, target):
         def body(carry, _):
             st, key = carry
             key, sub = jax.random.split(key)
@@ -104,8 +108,8 @@ def bench(config_name: str, batch: int = BATCH, overrides=None):
     # perf story states utilization, not just utt/s)
     flops_per_step = None
     try:
-        analysis = scan_steps.lower(state, jax.random.PRNGKey(3)).compile(
-        ).cost_analysis()
+        analysis = scan_steps.lower(state, jax.random.PRNGKey(3), inputs,
+                                    target).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         flops_per_step = float(analysis["flops"]) / SCAN
@@ -114,13 +118,13 @@ def bench(config_name: str, batch: int = BATCH, overrides=None):
 
     rng = jax.random.PRNGKey(3)
     t_compile0 = time.perf_counter()
-    state, losses = scan_steps(state, rng)
+    state, losses = scan_steps(state, rng, inputs, target)
     float(losses[-1])
     t_compile = time.perf_counter() - t_compile0  # compile + first dispatch wall
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, losses = scan_steps(state, rng)
+        state, losses = scan_steps(state, rng, inputs, target)
         float(losses[-1])
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -141,4 +145,8 @@ if __name__ == "__main__":
         for kv in kvs:
             k, _, v = kv.partition(":")
             overrides[k] = {"true": True, "false": False}.get(v.lower(), v)
-        bench(name, int(b) if b else BATCH, overrides)
+        try:
+            bench(name, int(b) if b else BATCH, overrides)
+        except Exception as exc:  # one OOM probe must not kill the sweep
+            print(f"{spec_str:24s} batch {b or BATCH}  FAILED: "
+                  f"{type(exc).__name__}: {str(exc)[:160]}", flush=True)
