@@ -40,6 +40,9 @@ class DNN(nn.Module):
     drop_out: float = 0.0
     dnn_method: str = "mask"
     dnn_ema: bool = True
+    # compute dtype for the Dense stack ("bfloat16" = TPU fast path);
+    # BatchNorm stats, the EMA scans, params and the mask multiply stay f32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -54,19 +57,24 @@ class DNN(nn.Module):
             x = nn.Dense(n_feature, use_bias=True, name="context")(x)
             x = ema_scan(x, 0.1, axis=1)
 
+        cdt = None if self.dtype == "float32" else jnp.dtype(self.dtype)
         x = x.reshape(batch * n_channel * n_frame, n_feature)
         for layer in range(self.n_layers):
             last = layer == self.n_layers - 1
             width = n_feature if last else self.hidden_layer
-            x = nn.Dense(width, use_bias=self.bias, name=f"linear_{layer}")(x)
+            x = nn.Dense(width, use_bias=self.bias, dtype=cdt,
+                         name=f"linear_{layer}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn_{layer}"
+                use_running_average=not train, momentum=0.9,
+                dtype=jnp.float32, name=f"bn_{layer}"
             )(x)
             if not last:
                 x = act(x)
+                if cdt is not None:
+                    x = x.astype(cdt)
                 x = nn.Dropout(self.drop_out, deterministic=not train)(x)
 
-        x = x.reshape(batch * n_channel, n_frame, n_feature)
+        x = x.reshape(batch * n_channel, n_frame, n_feature).astype(jnp.float32)
         if self.dnn_ema:
             x = ema_scan(x, 0.85, axis=1)
         x = jnp.swapaxes(x, 1, 2).reshape(batch, n_channel, n_feature, n_frame)
